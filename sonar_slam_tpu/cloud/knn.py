@@ -1,0 +1,66 @@
+"""Brute-force nearest-neighbor matching for small clouds.
+
+Replaces the libnabo KD-tree ``match`` binding
+(`/root/reference/bruce_slam/src/bruce_slam/cpp/pcl.cpp:161-174`). Sonar
+feature clouds are 10^2–10^3 points, so a tiled pairwise-distance matrix with
+an argmin reduction (MXU-friendly via the |a|^2 + |b|^2 - 2ab expansion) beats
+any tree structure on TPU and is trivially vmappable over ICP iterations,
+multi-start hypotheses and sweep lanes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e30
+
+
+def pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Squared Euclidean distances [N, M] between a [N, D] and b [M, D].
+
+    Uses the inner-product expansion so the N x M x D contraction runs on the
+    MXU; clamps tiny negatives from cancellation.
+    """
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    d2 = a2 + jnp.swapaxes(b2, -1, -2) - 2.0 * (a @ jnp.swapaxes(b, -1, -2))
+    return jnp.maximum(d2, 0.0)
+
+
+def nn_match(
+    ref_points: jax.Array,
+    ref_mask: jax.Array,
+    query_points: jax.Array,
+    query_mask: jax.Array,
+    max_dist: float | jax.Array,
+):
+    """Nearest reference point for each query point.
+
+    Mirrors ``pcl.match(ref, query, knn=1, max_dist)``: queries with no
+    neighbor within ``max_dist`` (or invalid queries) get index -1. Returns
+    (indices [M] int32, sq_dists [M] float32).
+    """
+    d2 = pairwise_sq_dists(query_points, ref_points)
+    d2 = jnp.where(ref_mask[None, :], d2, _BIG)
+    idx = jnp.argmin(d2, axis=-1)
+    best = jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
+    ok = query_mask & (best <= jnp.asarray(max_dist) ** 2)
+    return jnp.where(ok, idx, -1).astype(jnp.int32), best
+
+
+def count_overlap(
+    source_points: jax.Array,
+    source_mask: jax.Array,
+    target_points: jax.Array,
+    target_mask: jax.Array,
+    radius: float | jax.Array,
+) -> jax.Array:
+    """Number of source points with a target neighbor within ``radius``.
+
+    Equivalent to ``SLAM.get_overlap``
+    (`/root/reference/bruce_slam/src/bruce_slam/slam.py:389-424`), which calls
+    ``pcl.match(target, source, 1, point_noise)`` and counts matches.
+    """
+    idx, _ = nn_match(target_points, target_mask, source_points, source_mask, radius)
+    return jnp.sum(idx != -1)

@@ -1,0 +1,287 @@
+"""Masked fixed-capacity SE(2) factor graph with Gauss-Newton solves.
+
+Factor model mirrors the reference graph exactly
+(`/root/reference/bruce_slam/src/bruce_slam/slam.py`):
+
+* one ``PriorFactorPose2`` on X(0)                      (`slam.py:426-436`)
+* ``BetweenFactorPose2`` odometry / SSM / loop factors  (`slam.py:438-454,
+  804-824, 1105-1130`)
+* diagonal, full-covariance Gaussian, and Cauchy-robust noise models
+  (`slam.py:1163-1208`)
+
+Residuals use gtsam's conventions: error = Logmap(z⁻¹ ∘ (xi⁻¹ ∘ xj)) in the
+measurement tangent, with the Expmap retraction. Jacobians come from forward-
+mode autodiff of that exact residual (no hand-linearization), vmapped over the
+factor table; the normal equations are assembled with scatter-adds into a
+dense (3K, 3K) system and solved by Cholesky — both MXU-native.
+
+Everything is a pytree of fixed-shape arrays, so the whole smoother can live
+inside a ``lax.scan`` step and be checkpointed by serializing the pytree.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import (
+    se2_between,
+    se2_inverse,
+    se2_compose,
+    se2_logmap,
+    se2_retract,
+)
+
+
+class GraphConfig(NamedTuple):
+    max_poses: int = 256
+    max_factors: int = 1024
+    gn_iters: int = 6  # relinearization sweeps per update
+    damping: float = 1e-9  # tiny LM damping for numerical safety
+
+
+class GraphState(NamedTuple):
+    poses: jax.Array  # (K, 3) current estimates
+    num_poses: jax.Array  # int32
+    prior_pose: jax.Array  # (3,)
+    prior_sqrt_info: jax.Array  # (3, 3) whitening matrix (0 until set)
+    f_i: jax.Array  # (F,) int32 source key
+    f_j: jax.Array  # (F,) int32 target key
+    f_z: jax.Array  # (F, 3) measurement xi->xj
+    f_sqrt_info: jax.Array  # (F, 3, 3) whitening matrices
+    f_robust: jax.Array  # (F,) bool Cauchy flag
+    num_factors: jax.Array  # int32
+
+
+def sigmas_to_sqrt_info(sigmas) -> jax.Array:
+    """Diagonal noise model -> whitening matrix (gtsam Diagonal.Sigmas)."""
+    return jnp.diag(1.0 / jnp.asarray(sigmas, jnp.float32))
+
+
+def cov_to_sqrt_info(cov: jax.Array) -> jax.Array:
+    """Full covariance -> whitening matrix via Cholesky of the information.
+
+    Equivalent to gtsam.noiseModel.Gaussian.Covariance (`slam.py:1163-1175`).
+    """
+    info = jnp.linalg.inv(jnp.asarray(cov, jnp.float32))
+    # symmetrize for numerical safety before factorizing
+    info = 0.5 * (info + info.T)
+    return jnp.linalg.cholesky(info).T  # upper-triangular R with RᵀR = info
+
+
+def graph_init(config: GraphConfig) -> GraphState:
+    K, F = config.max_poses, config.max_factors
+    return GraphState(
+        poses=jnp.zeros((K, 3), jnp.float32),
+        num_poses=jnp.asarray(0, jnp.int32),
+        prior_pose=jnp.zeros(3, jnp.float32),
+        prior_sqrt_info=jnp.zeros((3, 3), jnp.float32),
+        f_i=jnp.zeros((F,), jnp.int32),
+        f_j=jnp.zeros((F,), jnp.int32),
+        f_z=jnp.zeros((F, 3), jnp.float32),
+        f_sqrt_info=jnp.zeros((F, 3, 3), jnp.float32),
+        f_robust=jnp.zeros((F,), bool),
+        num_factors=jnp.asarray(0, jnp.int32),
+    )
+
+
+def add_prior(state: GraphState, pose, sqrt_info) -> GraphState:
+    """Anchor X(0) (`SLAM.add_prior`, `slam.py:426-436`) and insert its value."""
+    state = state._replace(
+        prior_pose=jnp.asarray(pose, jnp.float32),
+        prior_sqrt_info=jnp.asarray(sqrt_info, jnp.float32),
+    )
+    return set_pose_estimate(state, 0, pose)._replace(
+        num_poses=jnp.maximum(state.num_poses, 1)
+    )
+
+
+def add_between(
+    state: GraphState, i, j, z, sqrt_info, robust=False, enabled=True
+) -> GraphState:
+    """Append a BetweenFactorPose2 (masked no-op when ``enabled`` is False)."""
+    slot = state.num_factors
+    en = jnp.asarray(enabled)
+    inc = en.astype(jnp.int32)
+    # write into `slot` but zero the sqrt_info when disabled so a no-op write
+    # can target slot 0 safely (it is overwritten only if enabled)
+    safe = jnp.where(en, slot, jnp.asarray(state.f_i.shape[0] - 1, jnp.int32))
+    return state._replace(
+        f_i=state.f_i.at[safe].set(
+            jnp.where(en, jnp.asarray(i, jnp.int32), state.f_i[safe])
+        ),
+        f_j=state.f_j.at[safe].set(
+            jnp.where(en, jnp.asarray(j, jnp.int32), state.f_j[safe])
+        ),
+        f_z=state.f_z.at[safe].set(
+            jnp.where(en, jnp.asarray(z, jnp.float32), state.f_z[safe])
+        ),
+        f_sqrt_info=state.f_sqrt_info.at[safe].set(
+            jnp.where(en, jnp.asarray(sqrt_info, jnp.float32), state.f_sqrt_info[safe])
+        ),
+        f_robust=state.f_robust.at[safe].set(
+            jnp.where(en, jnp.asarray(robust), state.f_robust[safe])
+        ),
+        num_factors=state.num_factors + inc,
+    )
+
+
+def set_pose_estimate(state: GraphState, k, pose) -> GraphState:
+    """Insert/overwrite the initial value for key k (gtsam Values.insert)."""
+    state = state._replace(
+        poses=state.poses.at[jnp.asarray(k, jnp.int32)].set(
+            jnp.asarray(pose, jnp.float32)
+        )
+    )
+    return state._replace(
+        num_poses=jnp.maximum(state.num_poses, jnp.asarray(k, jnp.int32) + 1)
+    )
+
+
+def _between_residual(xi, xj, z, sqrt_info):
+    """Whitened gtsam BetweenFactorPose2 residual."""
+    err = se2_logmap(se2_compose(se2_inverse(z), se2_between(xi, xj)))
+    return sqrt_info @ err
+
+
+def _factor_linearization(xi, xj, z, sqrt_info, robust):
+    """Residual + Jacobians in the retraction tangent at the current estimate,
+    with the Cauchy IRLS reweighting of gtsam's Robust(Cauchy(1.0)) model."""
+
+    def f(delta):
+        di, dj = delta[:3], delta[3:]
+        return _between_residual(se2_retract(xi, di), se2_retract(xj, dj), z, sqrt_info)
+
+    r = f(jnp.zeros(6))
+    J = jax.jacfwd(f)(jnp.zeros(6))
+    # Cauchy weight on the whitened norm (c = 1.0): w = 1 / (1 + ||r||^2)
+    w = jnp.where(robust, 1.0 / (1.0 + jnp.sum(r * r)), 1.0)
+    sw = jnp.sqrt(w)
+    return sw * r, sw * J[:, :3], sw * J[:, 3:]
+
+
+def _assemble_normal_equations(state: GraphState, config: GraphConfig):
+    """Build H (3K, 3K), b (3K) from all active factors at current estimates."""
+    K = config.max_poses
+    F = state.f_i.shape[0]
+    active = jnp.arange(F) < state.num_factors
+
+    xi = state.poses[state.f_i]
+    xj = state.poses[state.f_j]
+    r, Ji, Jj = jax.vmap(_factor_linearization)(
+        xi, xj, state.f_z, state.f_sqrt_info, state.f_robust
+    )
+    m = active.astype(jnp.float32)[:, None]
+    r = r * m
+    Ji = Ji * m[..., None]
+    Jj = Jj * m[..., None]
+
+    H = jnp.zeros((3 * K, 3 * K), jnp.float32)
+    b = jnp.zeros((3 * K,), jnp.float32)
+
+    def blocks(Ja, Jb):
+        return jnp.einsum("fab,fac->fbc", Ja, Jb)
+
+    def idx(keys):
+        return 3 * keys[:, None] + jnp.arange(3)[None, :]  # (F, 3)
+
+    ii, jj = idx(state.f_i), idx(state.f_j)
+    H = H.at[ii[:, :, None], ii[:, None, :]].add(blocks(Ji, Ji))
+    H = H.at[ii[:, :, None], jj[:, None, :]].add(blocks(Ji, Jj))
+    H = H.at[jj[:, :, None], ii[:, None, :]].add(blocks(Jj, Ji))
+    H = H.at[jj[:, :, None], jj[:, None, :]].add(blocks(Jj, Jj))
+    b = b.at[ii].add(jnp.einsum("fab,fa->fb", Ji, r))
+    b = b.at[jj].add(jnp.einsum("fab,fa->fb", Jj, r))
+
+    # prior factor on X(0)
+    def fprior(d):
+        return state.prior_sqrt_info @ se2_logmap(
+            se2_compose(se2_inverse(state.prior_pose), se2_retract(state.poses[0], d))
+        )
+
+    r0 = fprior(jnp.zeros(3))
+    J0 = jax.jacfwd(fprior)(jnp.zeros(3))
+    H = H.at[:3, :3].add(J0.T @ J0)
+    b = b.at[:3].add(J0.T @ r0)
+
+    # gauge/padding regularization: identity on invalid pose blocks
+    valid = jnp.repeat(jnp.arange(K) < state.num_poses, 3)
+    H = H + jnp.diag(jnp.where(valid, config.damping, 1.0))
+    return H, b
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def optimize(state: GraphState, config: GraphConfig) -> GraphState:
+    """Run ``config.gn_iters`` relinearized Gauss-Newton sweeps.
+
+    The ISAM2-equivalent of ``isam.update(...); calculateEstimate()``
+    (`slam.py:1222-1230`) — but fully converged every call.
+    """
+    K = config.max_poses
+
+    def body(poses, _):
+        st = state._replace(poses=poses)
+        H, b = _assemble_normal_equations(st, config)
+        L = jnp.linalg.cholesky(H)
+        delta = -jax.scipy.linalg.cho_solve((L, True), b)
+        delta = delta.reshape(K, 3)
+        valid = (jnp.arange(K) < state.num_poses)[:, None]
+        new_poses = jnp.where(valid, jax.vmap(se2_retract)(poses, delta), poses)
+        return new_poses, None
+
+    poses, _ = jax.lax.scan(body, state.poses, None, length=config.gn_iters)
+    return state._replace(poses=poses)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def marginal_covariance(state: GraphState, k, config: GraphConfig) -> jax.Array:
+    """3x3 marginal covariance of pose k (gtsam isam.marginalCovariance,
+    `slam.py:1233`): the (k, k) block of H⁻¹ at the current linearization."""
+    H, _ = _assemble_normal_equations(state, config)
+    L = jnp.linalg.cholesky(H)
+    e = jnp.zeros((3 * config.max_poses, 3), jnp.float32)
+    rows = 3 * jnp.asarray(k, jnp.int32) + jnp.arange(3)
+    e = e.at[rows, jnp.arange(3)].set(1.0)
+    cols = jax.scipy.linalg.cho_solve((L, True), e)
+    return cols[rows, :]
+
+
+class Smoother:
+    """Convenience host-side wrapper with an ISAM2-shaped API.
+
+    Mirrors the reference's usage pattern: queue factors + values, then
+    ``update()`` -> new estimates, ``marginal_covariance(k)``. The jitted
+    functional API above is what the fused SLAM scan uses; this class exists
+    for interactive / parity use.
+    """
+
+    def __init__(self, config: GraphConfig = GraphConfig()):
+        self.config = config
+        self.state = graph_init(config)
+
+    def add_prior(self, pose, sigmas):
+        self.state = add_prior(self.state, pose, sigmas_to_sqrt_info(sigmas))
+
+    def add_odometry(self, i, j, z, sigmas, robust=False):
+        self.state = add_between(
+            self.state, i, j, z, sigmas_to_sqrt_info(sigmas), robust
+        )
+
+    def add_between_cov(self, i, j, z, cov, robust=False):
+        self.state = add_between(self.state, i, j, z, cov_to_sqrt_info(cov), robust)
+
+    def insert(self, k, pose):
+        self.state = set_pose_estimate(self.state, k, pose)
+
+    def update(self):
+        self.state = optimize(self.state, self.config)
+        return self.state.poses
+
+    def estimate(self, k=None):
+        return self.state.poses if k is None else self.state.poses[k]
+
+    def marginal_covariance(self, k):
+        return marginal_covariance(self.state, k, self.config)

@@ -1,0 +1,129 @@
+"""Sonar feature extraction: polar ping -> masked 2-D point cloud.
+
+Rebuild of `FeatureExtraction.callback`
+(`/root/reference/bruce_slam/src/bruce_slam/feature_extraction.py:196-252`):
+
+1. CFAR detection on the polar image (SOCA by default, feature.yaml),
+2. intensity gate ``peaks &= img > threshold``,
+3. detected polar cells -> body-frame Cartesian points,
+4. voxel downsample at ``resolution`` then radius outlier removal.
+
+Instead of rasterizing the detection mask into a Cartesian image and reading
+back nonzero pixels (`feature_extraction.py:231-238`), we map each detected
+polar cell directly to its continuous (range cos b, range sin b) point — the
+same convention the SLAM node ends up with (`slam_ros.py:169-170`), minus the
+pixel quantization (documented divergence; strictly higher fidelity).
+
+The whole pipeline is one jit program and vmaps over frames, so a bag's worth
+of pings is a single batched TPU call.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..kernels.cfar import cfar_ca2, cfar_goca2, cfar_os2, cfar_soca2
+from ..kernels.cfar_factors import (
+    threshold_factor_ca,
+    threshold_factor_goca,
+    threshold_factor_os,
+    threshold_factor_soca,
+)
+from ..cloud import VoxelGridSpec, voxel_downsample, remove_outlier
+from .sonar import SonarGeometry
+
+
+class FeatureConfig(NamedTuple):
+    """feature.yaml semantics (`/root/reference/bruce_slam/config/feature.yaml`)."""
+
+    ntc: int = 40
+    ngc: int = 10
+    pfa: float = 0.1
+    rank: int = 10
+    alg: str = "SOCA"
+    threshold: float = 65.0
+    resolution: float = 0.5
+    outlier_radius: float = 1.0
+    outlier_min_points: int = 5
+    skip: int = 1
+    max_points: int = 256  # output cloud capacity (TPU padding)
+
+
+class FeatureExtractor:
+    """Builds the static pieces (tau, voxel grid, cell tables) once per
+    (config, geometry) — the analog of ``FeatureExtraction.configure`` +
+    ``generate_map_xy`` caching (`feature_extraction.py:78-81,134-173`)."""
+
+    def __init__(self, config: FeatureConfig, geometry: SonarGeometry):
+        self.config = config
+        self.geometry = geometry
+        t, g = config.ntc // 2, config.ngc // 2
+        if config.alg == "CA":
+            tau = threshold_factor_ca(config.ntc, config.pfa)
+            self._detect = lambda img: cfar_ca2(img, t, g, tau)[0]
+        elif config.alg == "SOCA":
+            tau = threshold_factor_soca(config.ntc, config.pfa)
+            self._detect = lambda img: cfar_soca2(img, t, g, tau)[0]
+        elif config.alg == "GOCA":
+            tau = threshold_factor_goca(config.ntc, config.pfa)
+            self._detect = lambda img: cfar_goca2(img, t, g, tau)[0]
+        elif config.alg == "OS":
+            tau = threshold_factor_os(config.ntc, config.rank, config.pfa)
+            self._detect = lambda img: cfar_os2(img, t, g, config.rank, tau)[0]
+        else:
+            raise ValueError(f"unknown CFAR alg {config.alg}")
+        self.tau = tau
+
+        self._cells = jnp.asarray(geometry.cell_points().reshape(-1, 2))
+        half_width = float(
+            np.sin(geometry.horizontal_aperture / 2) * geometry.max_range
+        )
+        res = config.resolution
+        self._spec = VoxelGridSpec(
+            x0=0.0,
+            y0=-half_width,
+            resolution=res,
+            nx=int(np.ceil(geometry.max_range / res)) + 1,
+            ny=int(np.ceil(2 * half_width / res)) + 1,
+        )
+
+        @jax.jit
+        def _pipeline(img: jax.Array):
+            img = img.astype(jnp.float32)
+            peaks = self._detect(img)
+            peaks = peaks & (img > self.config.threshold)
+            flat = peaks.reshape(-1)
+            pts, mask = voxel_downsample(
+                self._cells, flat, self._spec, self.config.max_points
+            )
+            if self.config.outlier_min_points > 1:
+                mask = remove_outlier(
+                    pts,
+                    mask,
+                    self.config.outlier_radius,
+                    self.config.outlier_min_points,
+                )
+            return pts, mask
+
+        self._pipeline = _pipeline
+        self._pipeline_batch = jax.jit(jax.vmap(_pipeline))
+
+    def extract(self, img: jax.Array):
+        """One polar frame [R, C] -> (points [max_points, 2], mask)."""
+        return self._pipeline(img)
+
+    def extract_batch(self, imgs: jax.Array):
+        """[B, R, C] frames -> ([B, max_points, 2], [B, max_points]) in one
+        fused TPU call — the batched replacement for the per-ping ROS
+        callback."""
+        return self._pipeline_batch(imgs)
+
+    def detections(self, img: jax.Array):
+        """Raw CFAR + intensity detection mask (for visualization parity)."""
+        img = img.astype(jnp.float32)
+        return self._detect(img) & (img > self.config.threshold)
