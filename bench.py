@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Benchmark: full synthetic-bag SLAM replay throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "slam_replay_xrealtime", "value": <x real-time>,
+   "unit": "x_realtime", "vs_baseline": <value / 100>}
+
+``vs_baseline`` normalizes against the north-star target from BASELINE.md:
+replay the sample BlueROV bag at >= 100x real-time on one v5e chip (the
+reference's design point is 1x real-time on a laptop CPU — it has no
+published numbers, BASELINE.md). So vs_baseline >= 1.0 means the target is
+met; the absolute x-real-time number is the headline.
+
+Measured work (steady state, post-compile): dead-reckoning scan over all
+sensor ticks + batched CFAR feature extraction over keyframe pings + the full
+fused SLAM scan (SSM + NSSM + PCM + GN smoothing) — i.e. everything the
+reference's node graph does during `slam.launch file:=bag` except rosbag
+decoding (host-side, one-time, excluded in both systems).
+
+Usage: python bench.py [--cpu] [--small] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("--small", action="store_true", help="small fast config")
+    ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from sonar_slam_tpu.cloud import ICPConfig
+    from sonar_slam_tpu.estimators import DRConfig, dead_reckoning_scan
+    from sonar_slam_tpu.geometry import pose3_to_pose2
+    from sonar_slam_tpu.io.dataset import (
+        SensorStreams,
+        build_dr_ticks,
+        match_pings_to_ticks,
+    )
+    from sonar_slam_tpu.io.simulate import SimConfig, simulate_bag
+    from sonar_slam_tpu.pipeline import ate_rmse
+    from sonar_slam_tpu.slam import (
+        FeatureConfig,
+        FeatureExtractor,
+        KeyframeInput,
+        SlamDims,
+        SlamParams,
+        select_keyframes,
+        slam_scan,
+    )
+
+    log = (lambda *a: None) if args.json_only else (
+        lambda *a: print(*a, file=sys.stderr)
+    )
+
+    if args.small:
+        sim = SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0,
+                        num_ranges=192, num_bearings=96, loop_radius=10.0,
+                        imu_rate=20.0)
+        dims = SlamDims(max_keyframes=32, max_points=128, target_capacity=512,
+                        nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=128,
+                        max_loops=16, gn_iters=3,
+                        icp=ICPConfig(min_diff_rot=1e-3, min_diff_trans=1e-2))
+        kf_translation = 2.0
+    else:
+        sim = SimConfig(duration=480.0, speed=0.5, sonar_rate=5.0,
+                        num_ranges=512, num_bearings=256, loop_radius=18.0,
+                        imu_rate=50.0)
+        dims = SlamDims(max_keyframes=128, max_points=256, target_capacity=1024,
+                        nssm_cov_samples=30, ssm_sobol=64, nssm_sobol=512,
+                        max_loops=32, gn_iters=4,
+                        icp=ICPConfig(min_diff_rot=1e-3, min_diff_trans=1e-2))
+        kf_translation = 3.0
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    bag = simulate_bag(sim)
+    log(f"bag simulated in {time.time()-t0:.1f}s: {len(bag.ping_time)} pings, "
+        f"{sim.duration:.0f}s of data")
+
+    params = SlamParams.default(dims)._replace(
+        keyframe_translation=jnp.float32(kf_translation),
+        ssm_min_points=jnp.asarray(20, jnp.int32),
+        nssm_min_points=jnp.asarray(20, jnp.int32),
+    )
+    feature_config = FeatureConfig(max_points=dims.max_points)
+    dr_config = DRConfig(roll_offset=0.0)
+
+    # host-side alignment (excluded from timing in both systems: the
+    # reference reads the rosbag on the host too)
+    streams = SensorStreams(
+        imu_time=bag.imu_time, imu_rpy=bag.imu_rpy,
+        dvl_time=bag.dvl_time, dvl_vel=bag.dvl_vel,
+        depth_time=bag.depth_time, depth=bag.depth,
+    )
+    bundle = build_dr_ticks(streams)
+    tick_idx, sync_ok = match_pings_to_ticks(bag.ping_time, bundle.tick_time)
+    ping_images = jnp.asarray(bag.ping_images)
+    extractor = FeatureExtractor(feature_config, bag.geometry)
+
+    def device_pipeline():
+        _, dr3 = dead_reckoning_scan(bundle.ticks, dr_config)
+        ping_dr3 = dr3[tick_idx]
+        ping_dr2 = pose3_to_pose2(ping_dr3)
+        kf_mask = select_keyframes(
+            jnp.asarray(bag.ping_time), ping_dr2, jnp.asarray(sync_ok), params
+        )
+        # keyframe gather (host round-trip: indices are data-dependent)
+        kf_idx = np.nonzero(np.asarray(kf_mask))[0]
+        K = dims.max_keyframes
+        kf_idx = kf_idx[:K]
+        valid = np.zeros(K, bool)
+        valid[: len(kf_idx)] = True
+        sel = np.concatenate([kf_idx, np.zeros(K - len(kf_idx), np.int64)])
+        pts, masks = extractor.extract_batch(ping_images[sel])
+        masks = masks & jnp.asarray(valid)[:, None]
+        frames = KeyframeInput(
+            time=jnp.asarray(bag.ping_time[sel], jnp.float32),
+            dr_pose3=ping_dr3[sel],
+            points=pts,
+            pmask=masks,
+            valid=jnp.asarray(valid),
+        )
+        carry, outputs = slam_scan(frames, params, dims)
+        jax.block_until_ready(carry.poses)
+        return carry, kf_idx
+
+    t0 = time.time()
+    carry, kf_idx = device_pipeline()
+    compile_s = time.time() - t0
+    log(f"first run (incl compile): {compile_s:.1f}s")
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        carry, kf_idx = device_pipeline()
+        times.append(time.time() - t0)
+    wall = float(np.median(times))
+
+    nk = int(carry.num_kf)
+    truth = bag.true_pose_at_ping[kf_idx][:nk]
+    ate = ate_rmse(np.asarray(carry.poses[:nk]), truth)
+    xrt = sim.duration / wall
+    steps_per_sec = nk / wall
+    log(f"keyframes: {nk}, loops: {int(carry.num_loops)}, wall: {wall:.3f}s, "
+        f"{xrt:.1f}x real-time, {steps_per_sec:.1f} SLAM steps/s, "
+        f"ATE {ate*100:.1f} cm")
+
+    print(json.dumps({
+        "metric": "slam_replay_xrealtime",
+        "value": round(xrt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / 100.0, 3),
+        "extra": {
+            "slam_steps_per_sec": round(steps_per_sec, 2),
+            "keyframes": nk,
+            "loops": int(carry.num_loops),
+            "ate_m": round(ate, 4),
+            "wall_s": round(wall, 3),
+            "compile_s": round(compile_s, 1),
+            "platform": jax.devices()[0].platform,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

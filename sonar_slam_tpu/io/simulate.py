@@ -1,0 +1,199 @@
+"""Synthetic BlueROV sonar-survey bag generator.
+
+The reference's de-facto integration test replays a sample rosbag
+(`/root/reference/README.md:59-71`) that lives on an external drive. This
+module generates an equivalent, physics-consistent sensor bundle from a
+procedural underwater scene so the full pipeline (CFAR -> DR -> SSM/NSSM ->
+PCM -> mapping) can be exercised hermetically, with ground truth:
+
+* world: walls (densified into scatterer points) around a survey area,
+* trajectory: a closed survey loop at fixed depth (re-visits its start —
+  exercising NSSM loop closures + PCM),
+* sonar: polar intensity frames rendered by binning visible scatterers into
+  (range, bearing) cells over an exponential noise floor (speckle-like, the
+  WGN-square-law model CFAR assumes),
+* DVL body velocities, IMU orientations, pressure depth at realistic rates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import numpy as np
+
+from ..slam.sonar import SonarGeometry
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    duration: float = 240.0  # seconds
+    speed: float = 0.4  # m/s along track
+    depth: float = 2.0
+    imu_rate: float = 50.0
+    dvl_rate: float = 5.0
+    depth_rate: float = 4.0
+    sonar_rate: float = 2.0
+    num_ranges: int = 256
+    num_bearings: int = 128
+    max_range: float = 30.0
+    loop_radius: float = 18.0  # survey loop radius (closes on itself)
+    noise_floor: float = 10.0  # exponential speckle scale
+    target_intensity: float = 220.0
+    dvl_noise: float = 0.01
+    imu_yaw_noise: float = 0.002
+    wall_point_spacing: float = 0.25
+    seed: int = 0
+
+
+class SyntheticBag(NamedTuple):
+    # sensor streams (time-sorted)
+    imu_time: np.ndarray  # (Ti,)
+    imu_rpy: np.ndarray  # (Ti, 3)
+    dvl_time: np.ndarray  # (Td,)
+    dvl_vel: np.ndarray  # (Td, 3) body-frame
+    depth_time: np.ndarray  # (Tp,)
+    depth: np.ndarray  # (Tp,)
+    ping_time: np.ndarray  # (Ts,)
+    ping_images: np.ndarray  # (Ts, R, C) float32
+    # ground truth
+    true_pose_at_ping: np.ndarray  # (Ts, 3) (x, y, yaw)
+    geometry: SonarGeometry
+    world_points: np.ndarray  # (W, 2) structure scatterers
+
+
+def _make_world(cfg: SimConfig, rng) -> np.ndarray:
+    """Rectangular basin walls + interior pillars, densified to points."""
+    L = cfg.loop_radius + cfg.max_range * 0.8
+    segs = [
+        ((-L, -L), (L, -L)),
+        ((L, -L), (L, L)),
+        ((L, L), (-L, L)),
+        ((-L, L), (-L, -L)),
+    ]
+    # interior pillars / rock piles for distinctive features
+    for cx, cy, r in [(-8, 6, 2.0), (10, -4, 1.5), (2, 14, 2.5), (-12, -10, 1.8)]:
+        t = np.linspace(0, 2 * np.pi, max(8, int(2 * np.pi * r / cfg.wall_point_spacing)))
+        pts = np.stack([cx + r * np.cos(t), cy + r * np.sin(t)], -1)
+        segs.extend([(tuple(pts[i]), tuple(pts[i + 1])) for i in range(len(pts) - 1)])
+    out = []
+    for (x0, y0), (x1, y1) in segs:
+        n = max(2, int(np.hypot(x1 - x0, y1 - y0) / cfg.wall_point_spacing))
+        t = np.linspace(0, 1, n)
+        out.append(np.stack([x0 + t * (x1 - x0), y0 + t * (y1 - y0)], -1))
+    pts = np.concatenate(out)
+    jitter = rng.normal(scale=0.02, size=pts.shape)
+    return (pts + jitter).astype(np.float32)
+
+
+def _trajectory(cfg: SimConfig, t: np.ndarray):
+    """Closed loop (slightly squashed circle) traversed at constant speed.
+    Returns (xy (T, 2), yaw (T,), body_vel (T, 3))."""
+    theta = (cfg.speed / cfg.loop_radius) * t
+    x = cfg.loop_radius * np.cos(theta)
+    y = cfg.loop_radius * 0.8 * np.sin(theta)
+    dx = -cfg.loop_radius * np.sin(theta) * (cfg.speed / cfg.loop_radius)
+    dy = cfg.loop_radius * 0.8 * np.cos(theta) * (cfg.speed / cfg.loop_radius)
+    yaw = np.arctan2(dy, dx)
+    # body-frame velocity (x fwd, y starboard): world vel rotated by -yaw
+    c, s = np.cos(yaw), np.sin(yaw)
+    vb_x = c * dx + s * dy
+    vb_y = -s * dx + c * dy
+    vel = np.stack([vb_x, vb_y, np.zeros_like(vb_x)], -1)
+    return np.stack([x, y], -1), yaw, vel
+
+
+def render_ping(
+    pose: np.ndarray,  # (3,) x, y, yaw
+    world: np.ndarray,  # (W, 2)
+    geom: SonarGeometry,
+    rng,
+    noise_floor: float,
+    target_intensity: float,
+) -> np.ndarray:
+    """Render one polar frame: exponential speckle + scatterer returns."""
+    img = rng.exponential(scale=noise_floor, size=(geom.num_ranges, geom.num_bearings))
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    rel = world - pose[:2]
+    lx = c * rel[:, 0] + s * rel[:, 1]
+    ly = -s * rel[:, 0] + c * rel[:, 1]
+    rng_m = np.hypot(lx, ly)
+    brg = np.arctan2(ly, lx)
+    vis = (
+        (rng_m > 0.5)
+        & (rng_m < geom.max_range * 0.98)
+        & (brg > geom.bearings[0])
+        & (brg < geom.bearings[-1])
+    )
+    rr = np.clip(
+        np.round(rng_m[vis] / geom.range_resolution - 1).astype(int),
+        0,
+        geom.num_ranges - 1,
+    )
+    cc = np.clip(
+        np.round(
+            np.interp(brg[vis], geom.bearings, np.arange(geom.num_bearings))
+        ).astype(int),
+        0,
+        geom.num_bearings - 1,
+    )
+    intensity = target_intensity * (1.0 - 0.5 * rng_m[vis] / geom.max_range)
+    np.maximum.at(img, (rr, cc), intensity)
+    # slight range blur (pulse length) — one cell bleed
+    img[1:] = np.maximum(img[1:], 0.6 * img[:-1])
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
+    rng = np.random.default_rng(cfg.seed)
+    world = _make_world(cfg, rng)
+    geom = SonarGeometry.make(
+        num_ranges=cfg.num_ranges,
+        num_bearings=cfg.num_bearings,
+        max_range=cfg.max_range,
+    )
+
+    imu_t = np.arange(0, cfg.duration, 1 / cfg.imu_rate)
+    dvl_t = np.arange(0.013, cfg.duration, 1 / cfg.dvl_rate)
+    dep_t = np.arange(0.007, cfg.duration, 1 / cfg.depth_rate)
+    png_t = np.arange(0.5, cfg.duration, 1 / cfg.sonar_rate)
+
+    _, yaw_imu, _ = _trajectory(cfg, imu_t)
+    imu_rpy = np.stack(
+        [
+            np.zeros_like(yaw_imu),
+            np.zeros_like(yaw_imu),
+            yaw_imu + rng.normal(scale=cfg.imu_yaw_noise, size=yaw_imu.shape),
+        ],
+        -1,
+    )
+
+    _, _, vel_dvl = _trajectory(cfg, dvl_t)
+    vel_dvl = vel_dvl + rng.normal(scale=cfg.dvl_noise, size=vel_dvl.shape)
+
+    depth = np.full_like(dep_t, cfg.depth) + rng.normal(scale=0.01, size=dep_t.shape)
+
+    xy_png, yaw_png, _ = _trajectory(cfg, png_t)
+    true_poses = np.concatenate([xy_png, yaw_png[:, None]], -1)
+    # express ground truth relative to the start pose (SLAM frame convention:
+    # first keyframe anchored near origin with yaw zeroed, slam_ros/DR yaw0)
+    imgs = np.stack(
+        [
+            render_ping(p, world, geom, rng, cfg.noise_floor, cfg.target_intensity)
+            for p in true_poses
+        ]
+    )
+
+    return SyntheticBag(
+        imu_time=imu_t.astype(np.float32),
+        imu_rpy=imu_rpy.astype(np.float32),
+        dvl_time=dvl_t.astype(np.float32),
+        dvl_vel=vel_dvl.astype(np.float32),
+        depth_time=dep_t.astype(np.float32),
+        depth=depth.astype(np.float32),
+        ping_time=png_t.astype(np.float32),
+        ping_images=imgs,
+        true_pose_at_ping=true_poses.astype(np.float32),
+        geometry=geom,
+        world_points=world,
+    )

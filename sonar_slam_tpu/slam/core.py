@@ -1,0 +1,746 @@
+"""The fused TPU SLAM core: ``carry, outputs = keyframe_step(carry, frame)``.
+
+This module collapses the reference's SLAM node — `SLAMNode.SLAM_callback`
+(`/root/reference/bruce_slam/src/bruce_slam/slam_ros.py:147-213`) driving
+`SLAM.add_sequential_scan_matching` / `add_nonsequential_scan_matching` /
+`update_factor_graph` (`slam.py:718-837,1003-1132,1210-1241`) — into a single
+pure function over fixed-capacity padded tensors, scanned over keyframes with
+``lax.scan``.
+
+Key structural redesign (TPU-first, not a port):
+
+* **Keyframe gating is a cheap pre-pass.** ``is_keyframe`` depends only on
+  dead-reckoning state and time (`slam.py:1134-1161`), never on the SLAM
+  estimate — so keyframe selection runs as a tiny scalar scan over pings
+  (`select_keyframes``), and the heavy step runs *only* on selected
+  keyframes. The reference pays the callback machinery on every ping.
+* **Sobol global init is one batched cost evaluation** (see scan_matching),
+  the multi-start covariance ICP is a ``vmap`` (see cloud.icp), the NSSM
+  per-point FOV gating is one masked reduction over the whole padded
+  keyframe×point tensor, and the ISAM2 update is a dense masked Gauss-Newton
+  relinearization (see graph.factor_graph).
+* **PCM runs fully in-jit** over its fixed queue (see graph.pcm).
+
+Status codes preserve the reference's failure taxonomy
+(`slam_objects.py:14-54`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import (
+    se2_between,
+    se2_compose,
+    se2_inverse,
+    se2_transform_points,
+    pose3_to_pose2,
+)
+from ..cloud import (
+    ICPConfig,
+    VoxelGridSpec,
+    count_overlap,
+    icp,
+    icp_multistart,
+    nn_match,
+    voxel_downsample,
+)
+from ..graph.factor_graph import (
+    GraphConfig,
+    GraphState,
+    add_between,
+    add_prior,
+    cov_to_sqrt_info,
+    graph_init,
+    marginal_covariance,
+    optimize,
+    set_pose_estimate,
+    sigmas_to_sqrt_info,
+)
+from ..graph.pcm import pcm_select
+from .scan_matching import (
+    apply_covariance_floor,
+    estimate_pose_covariance,
+    global_initialize,
+    localize_covariance,
+    sobol_unit_samples,
+)
+
+# STATUS taxonomy (slam_objects.py:14-35)
+STATUS_SUCCESS = 0
+STATUS_NOT_ENOUGH_POINTS = 1
+STATUS_LARGE_TRANSFORMATION = 2
+STATUS_NOT_ENOUGH_OVERLAP = 3
+STATUS_NOT_CONVERGED = 4
+STATUS_INITIALIZATION_FAILURE = 5
+STATUS_NAMES = [
+    "Success",
+    "Not enough points",
+    "Large transformation",
+    "Not enough overlap",
+    "Not converged",
+    "Initialization failure",
+]
+
+
+@dataclass(frozen=True)
+class SlamDims:
+    """Static capacities + structural parameters (compile-time)."""
+
+    max_keyframes: int = 128  # K
+    max_points: int = 256  # N, per-keyframe cloud capacity
+    target_capacity: int = 1024  # M, aggregated-submap capacity
+    ssm_target_frames: int = 3  # slam.yaml ssm/target_frames
+    nssm_source_frames: int = 5  # slam.yaml nssm/source_frames
+    nssm_min_st_sep: int = 8  # slam.yaml nssm/min_st_sep
+    ssm_cov_samples: int = 0  # slam.py:85 default (0 = plain ICP)
+    nssm_cov_samples: int = 30  # slam.yaml nssm/cov_samples
+    ssm_sobol: int = 64  # shgo n*iters analog (ssm: 50*1)
+    nssm_sobol: int = 512  # nssm: 100*5
+    pcm_queue_slots: int = 6  # pcm_queue_size + 1
+    max_loops: int = 32  # loop-closure log capacity
+    gn_iters: int = 4
+    icp: ICPConfig = ICPConfig()
+    max_range: float = 30.0  # sonar geometry (FOV gating)
+    half_aperture: float = float(np.radians(65.0))
+    aggregation_extent: float = 2.0  # voxel-grid half-extent, in max_ranges
+    point_resolution: float = 0.5  # static: fixes voxel-grid dims at trace time
+
+    def graph_config(self) -> GraphConfig:
+        return GraphConfig(
+            max_poses=self.max_keyframes,
+            max_factors=self.max_keyframes + self.max_loops + 4,
+            gn_iters=self.gn_iters,
+        )
+
+    def agg_spec(self) -> VoxelGridSpec:
+        half = self.aggregation_extent * self.max_range
+        res = self.point_resolution
+        n = int(np.ceil(2 * half / res)) + 1
+        return VoxelGridSpec(x0=-half, y0=-half, resolution=res, nx=n, ny=n)
+
+
+class SlamParams(NamedTuple):
+    """Numeric parameters (traceable — vmappable for config sweeps).
+
+    Mirrors slam.yaml (`/root/reference/bruce_slam/config/slam.yaml`).
+    """
+
+    keyframe_duration: jax.Array
+    keyframe_translation: jax.Array
+    keyframe_rotation: jax.Array
+    prior_sigmas: jax.Array  # (3,)
+    odom_sigmas: jax.Array  # (3,)
+    icp_odom_sigmas: jax.Array  # (3,)
+    point_resolution: jax.Array
+    point_noise: jax.Array
+    ssm_enable: jax.Array  # bool
+    ssm_min_points: jax.Array
+    ssm_max_translation: jax.Array
+    ssm_max_rotation: jax.Array
+    nssm_enable: jax.Array
+    nssm_min_points: jax.Array
+    nssm_max_translation: jax.Array
+    nssm_max_rotation: jax.Array
+    min_pcm: jax.Array
+    pcm_queue_size: jax.Array
+    ssm_sobol_pts: jax.Array  # (S1, 3) unit Sobol samples
+    nssm_sobol_pts: jax.Array  # (S2, 3)
+
+    @staticmethod
+    def default(dims: SlamDims) -> "SlamParams":
+        """slam.yaml defaults."""
+        f = jnp.float32
+        return SlamParams(
+            keyframe_duration=f(1.0),
+            keyframe_translation=f(3.0),
+            keyframe_rotation=f(np.radians(30)),
+            prior_sigmas=jnp.asarray([0.1, 0.1, 0.01], f),
+            odom_sigmas=jnp.asarray([0.2, 0.2, 0.02], f),
+            icp_odom_sigmas=jnp.asarray([0.1, 0.1, 0.01], f),
+            point_resolution=f(0.5),
+            point_noise=f(0.5),
+            ssm_enable=jnp.asarray(True),
+            ssm_min_points=jnp.asarray(50, jnp.int32),
+            ssm_max_translation=f(3.0),
+            ssm_max_rotation=f(np.radians(30)),
+            nssm_enable=jnp.asarray(True),
+            nssm_min_points=jnp.asarray(50, jnp.int32),
+            nssm_max_translation=f(10.0),
+            nssm_max_rotation=f(np.radians(60)),
+            min_pcm=jnp.asarray(2, jnp.int32),
+            pcm_queue_size=jnp.asarray(5, jnp.int32),
+            ssm_sobol_pts=jnp.asarray(sobol_unit_samples(dims.ssm_sobol)),
+            nssm_sobol_pts=jnp.asarray(sobol_unit_samples(dims.nssm_sobol)),
+        )
+
+
+class SlamCarry(NamedTuple):
+    """The whole smoother state — a pytree; checkpointing = serializing it."""
+
+    times: jax.Array  # (K,)
+    dr_poses3: jax.Array  # (K, 6)
+    dr_poses: jax.Array  # (K, 3)
+    poses: jax.Array  # (K, 3) optimized
+    covs: jax.Array  # (K, 3, 3) marginal cov (as of when each was latest)
+    points: jax.Array  # (K, N, 2) local clouds
+    pmasks: jax.Array  # (K, N)
+    num_kf: jax.Array  # int32
+    graph: GraphState
+    # PCM queue (ring buffer)
+    q_source: jax.Array  # (Q,) int32
+    q_target: jax.Array  # (Q,) int32
+    q_tf: jax.Array  # (Q, 3) measured transform target->source
+    q_cov: jax.Array  # (Q, 3, 3)
+    q_inserted: jax.Array  # (Q,) bool
+    q_used: jax.Array  # (Q,) bool
+    q_head: jax.Array  # int32 ring write index
+    # accepted loop-closure log (for constraint export/visualization)
+    loops_i: jax.Array  # (L,) target keys
+    loops_j: jax.Array  # (L,) source keys
+    num_loops: jax.Array  # int32
+
+
+class StepOutputs(NamedTuple):
+    pose: jax.Array  # (3,) optimized pose of this keyframe
+    cov: jax.Array  # (3, 3)
+    ssm_status: jax.Array  # int32 STATUS_*
+    ssm_used_icp: jax.Array  # bool: SSM factor inserted (vs DR odometry)
+    nssm_status: jax.Array  # int32
+    nssm_target: jax.Array  # int32 (-1 when none)
+    loop_added: jax.Array  # bool: >=1 PCM-accepted loop inserted this step
+    ssm_overlap: jax.Array  # int32
+    nssm_overlap: jax.Array  # int32
+
+
+def slam_init(dims: SlamDims) -> SlamCarry:
+    K, N, Q, L = (
+        dims.max_keyframes,
+        dims.max_points,
+        dims.pcm_queue_slots,
+        dims.max_loops,
+    )
+    f = jnp.float32
+    return SlamCarry(
+        times=jnp.zeros((K,), f),
+        dr_poses3=jnp.zeros((K, 6), f),
+        dr_poses=jnp.zeros((K, 3), f),
+        poses=jnp.zeros((K, 3), f),
+        covs=jnp.tile(jnp.eye(3, dtype=f)[None] * 1e-4, (K, 1, 1)),
+        points=jnp.zeros((K, N, 2), f),
+        pmasks=jnp.zeros((K, N), bool),
+        num_kf=jnp.asarray(0, jnp.int32),
+        graph=graph_init(dims.graph_config()),
+        q_source=jnp.zeros((Q,), jnp.int32),
+        q_target=jnp.zeros((Q,), jnp.int32),
+        q_tf=jnp.zeros((Q, 3), f),
+        q_cov=jnp.tile(jnp.eye(3, dtype=f)[None], (Q, 1, 1)),
+        q_inserted=jnp.zeros((Q,), bool),
+        q_used=jnp.zeros((Q,), bool),
+        q_head=jnp.asarray(0, jnp.int32),
+        loops_i=jnp.zeros((L,), jnp.int32),
+        loops_j=jnp.zeros((L,), jnp.int32),
+        num_loops=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ----------------------------------------------------------------------
+# keyframe selection pre-pass (slam.py:1134-1161 + slam_ros.py:173-176)
+# ----------------------------------------------------------------------
+
+
+def select_keyframes(
+    times: jax.Array,  # (T,) candidate ping times
+    dr_poses: jax.Array,  # (T, 3) DR pose2 at each ping
+    candidate: jax.Array,  # (T,) bool: ping eligible (skip pattern, valid sync)
+    params: SlamParams,
+):
+    """Sequential keyframe gate: >= duration since last keyframe AND
+    (translation OR rotation beyond thresholds). First candidate is always a
+    keyframe. Returns (T,) bool mask."""
+
+    def body(carry, inp):
+        last_t, last_pose, any_kf = carry
+        t, pose, ok = inp
+        duration = t - last_t
+        d = se2_between(last_pose, pose)
+        moved = (jnp.linalg.norm(d[:2]) > params.keyframe_translation) | (
+            jnp.abs(d[2]) > params.keyframe_rotation
+        )
+        is_kf = ok & (
+            (~any_kf) | ((duration > params.keyframe_duration) & moved)
+        )
+        new = (
+            jnp.where(is_kf, t, last_t),
+            jnp.where(is_kf, pose, last_pose),
+            any_kf | is_kf,
+        )
+        return new, is_kf
+
+    init = (jnp.asarray(-1e9, jnp.float32), jnp.zeros(3, jnp.float32), jnp.asarray(False))
+    _, mask = jax.lax.scan(body, init, (times, dr_poses, candidate))
+    return mask
+
+
+# ----------------------------------------------------------------------
+# submap aggregation helpers (SLAM.get_points, slam.py:229-292)
+# ----------------------------------------------------------------------
+
+
+def _aggregate_window(
+    carry: SlamCarry,
+    ref_pose: jax.Array,
+    first_key: jax.Array,
+    window: int,
+    spec: VoxelGridSpec,
+    capacity: int,
+):
+    """Downsampled union of `window` consecutive keyframes' clouds, expressed
+    in ``ref_pose``'s frame. Keys first_key .. first_key+window-1; negative or
+    >=num_kf keys are masked."""
+    keys = first_key + jnp.arange(window)
+    ok = (keys >= 0) & (keys < carry.num_kf)
+    safe = jnp.clip(keys, 0, carry.points.shape[0] - 1)
+    pts = carry.points[safe]  # (w, N, 2)
+    masks = carry.pmasks[safe] & ok[:, None]
+    rel = jax.vmap(lambda k: se2_between(ref_pose, carry.poses[k]))(safe)
+    moved = jax.vmap(se2_transform_points)(pts, rel)
+    flat_pts = moved.reshape(-1, 2)
+    flat_mask = masks.reshape(-1)
+    return voxel_downsample(flat_pts, flat_mask, spec, capacity)
+
+
+# ----------------------------------------------------------------------
+# the keyframe step
+# ----------------------------------------------------------------------
+
+
+class KeyframeInput(NamedTuple):
+    time: jax.Array  # scalar
+    dr_pose3: jax.Array  # (6,)
+    points: jax.Array  # (N, 2)
+    pmask: jax.Array  # (N,)
+    valid: jax.Array  # bool (padding flag for the scan)
+
+
+def keyframe_step(
+    carry: SlamCarry,
+    frame: KeyframeInput,
+    params: SlamParams,
+    dims: SlamDims,
+):
+    """Process one keyframe: SSM (or DR odometry) factor, graph update, NSSM
+    loop search with PCM, second update on accepted loops."""
+
+    gcfg = dims.graph_config()
+    spec = dims.agg_spec()
+    key = carry.num_kf
+    K, N, M = dims.max_keyframes, dims.max_points, dims.target_capacity
+
+    dr_pose2 = pose3_to_pose2(frame.dr_pose3)
+    is_first = key == 0
+    prev = jnp.maximum(key - 1, 0)
+    dr_odom = se2_between(carry.dr_poses[prev], dr_pose2)
+    prop_pose = se2_compose(carry.poses[prev], dr_odom)  # slam_ros.py:182-185
+    init_pose = jnp.where(is_first, dr_pose2, prop_pose)
+
+    n_source = jnp.sum(frame.pmask)
+
+    # ---------------- sequential scan matching (slam.py:607-837) ----------
+    target_pose = carry.poses[prev]
+    tgt_pts, tgt_mask = _aggregate_window(
+        carry, target_pose, prev - dims.ssm_target_frames + 1,
+        dims.ssm_target_frames, spec, M,
+    )
+    n_target = jnp.sum(tgt_mask)
+
+    ssm_eligible = (
+        (~is_first)
+        & params.ssm_enable
+        & (n_source >= params.ssm_min_points)
+        & (n_target >= params.ssm_min_points)
+    )
+
+    ginit = global_initialize(
+        frame.points, frame.pmask, tgt_pts, tgt_mask,
+        init_pose, target_pose,
+        bounds=5.0 * params.odom_sigmas,
+        unit_samples=params.ssm_sobol_pts,
+        point_noise=params.point_noise,
+        num_guesses=max(dims.ssm_cov_samples, 1),
+    )
+    guesses = ginit.guesses_vs(target_pose)
+
+    if dims.ssm_cov_samples > 0:
+        mres = icp_multistart(
+            frame.points, frame.pmask, tgt_pts, tgt_mask,
+            guesses, ginit.guess_mask, dims.icp,
+        )
+        mu, scov, n_ok = estimate_pose_covariance(mres.pose, mres.ok)
+        enough = n_ok >= 5
+        ssm_cov = localize_covariance(scov, mu)
+        ssm_cov, _ = apply_covariance_floor(ssm_cov, params.icp_odom_sigmas)
+        est_tf = mu
+        icp_ok = enough
+        have_cov = True
+    else:
+        sres = icp(
+            frame.points, frame.pmask, tgt_pts, tgt_mask, guesses[0], dims.icp
+        )
+        est_tf = sres.pose
+        icp_ok = sres.ok
+        ssm_cov = jnp.diag(params.icp_odom_sigmas**2)
+        have_cov = False
+
+    # gates (slam.py:781-802)
+    delta = se2_between(guesses[0], est_tf)
+    small_delta = (jnp.linalg.norm(delta[:2]) <= params.ssm_max_translation) & (
+        jnp.abs(delta[2]) <= params.ssm_max_rotation
+    )
+    ssm_overlap = count_overlap(
+        se2_transform_points(frame.points, est_tf), frame.pmask,
+        tgt_pts, tgt_mask, params.point_noise,
+    )
+    enough_overlap = ssm_overlap >= params.ssm_min_points
+    ssm_ok = ssm_eligible & icp_ok & small_delta & enough_overlap
+
+    ssm_status = jnp.where(
+        ssm_ok,
+        STATUS_SUCCESS,
+        jnp.where(
+            ~ssm_eligible,
+            STATUS_NOT_ENOUGH_POINTS,
+            jnp.where(
+                ~icp_ok,
+                STATUS_NOT_CONVERGED,
+                jnp.where(~small_delta, STATUS_LARGE_TRANSFORMATION,
+                          STATUS_NOT_ENOUGH_OVERLAP),
+            ),
+        ),
+    ).astype(jnp.int32)
+
+    # factor insertion: SSM between-factor or DR odometry fallback
+    # (slam.py:804-833); prior on the first keyframe (slam.py:426-436)
+    graph = carry.graph
+    graph = jax.lax.cond(
+        is_first & frame.valid,
+        lambda g: add_prior(g, init_pose, sigmas_to_sqrt_info(params.prior_sigmas)),
+        lambda g: g,
+        graph,
+    )
+    z_factor = jnp.where(ssm_ok, est_tf, dr_odom)
+    sq_ssm = cov_to_sqrt_info(ssm_cov) if (dims.ssm_cov_samples > 0) else (
+        sigmas_to_sqrt_info(params.icp_odom_sigmas)
+    )
+    sq = jnp.where(ssm_ok, sq_ssm, sigmas_to_sqrt_info(params.odom_sigmas))
+    graph = add_between(
+        graph, prev, key, z_factor, sq, robust=False,
+        enabled=(~is_first) & frame.valid,
+    )
+    value_pose = jnp.where(
+        ssm_ok, se2_compose(target_pose, est_tf), init_pose
+    )
+    graph = jax.lax.cond(
+        frame.valid,
+        lambda g: set_pose_estimate(g, key, value_pose),
+        lambda g: g,
+        graph,
+    )
+
+    # append keyframe to carry arrays
+    def appended(c: SlamCarry) -> SlamCarry:
+        return c._replace(
+            times=c.times.at[key].set(frame.time),
+            dr_poses3=c.dr_poses3.at[key].set(frame.dr_pose3),
+            dr_poses=c.dr_poses.at[key].set(dr_pose2),
+            points=c.points.at[key].set(frame.points),
+            pmasks=c.pmasks.at[key].set(frame.pmask),
+            num_kf=c.num_kf + 1,
+        )
+
+    carry = jax.lax.cond(frame.valid, appended, lambda c: c, carry)
+    carry = carry._replace(graph=graph)
+
+    # ---------------- first graph update (slam.py:1210-1241) --------------
+    def do_update(c: SlamCarry) -> SlamCarry:
+        g = optimize(c.graph, gcfg)
+        cov = marginal_covariance(g, key, gcfg)
+        return c._replace(
+            graph=g,
+            poses=g.poses,
+            covs=c.covs.at[key].set(cov),
+        )
+
+    carry = jax.lax.cond(frame.valid, do_update, lambda c: c, carry)
+
+    # ---------------- non-sequential scan matching (slam.py:839-1132) -----
+    nssm_eligible = (
+        params.nssm_enable
+        & frame.valid
+        & (carry.num_kf >= dims.nssm_min_st_sep)
+    )
+
+    def run_nssm(c: SlamCarry):
+        src_key = c.num_kf - 1
+        src_pose = c.poses[src_key]
+        # source submap: last `nssm_source_frames` keyframes in src frame
+        src_pts, src_mask = _aggregate_window(
+            c, src_pose, src_key - dims.nssm_source_frames + 1,
+            dims.nssm_source_frames, spec, M,
+        )
+        n_src = jnp.sum(src_mask)
+
+        # global-frame target points with per-point keyframe keys
+        # (target candidates: all keyframes < num_kf - min_st_sep, slam.py:870)
+        limit = c.num_kf - jnp.asarray(dims.nssm_min_st_sep, jnp.int32)
+        kf_idx = jnp.arange(K)
+        tgt_frames_ok = kf_idx < limit
+        global_pts = jax.vmap(se2_transform_points)(c.points, c.poses)  # (K,N,2)
+        gmask = c.pmasks & tgt_frames_ok[:, None]
+
+        # 5-sigma FOV gating against each source-window frame (slam.py:875-895)
+        src_keys = src_key - jnp.arange(dims.nssm_source_frames)
+        src_keys_ok = src_keys >= 0
+        safe_src = jnp.clip(src_keys, 0, K - 1)
+
+        def frame_sel(k):
+            pose = c.poses[k]
+            cov = c.covs[k]
+            tstd = jnp.sqrt(
+                jnp.max(jnp.linalg.eigvalsh(cov[:2, :2]))
+            )
+            rstd = jnp.sqrt(cov[2, 2])
+            local = se2_transform_points(
+                global_pts.reshape(-1, 2), se2_inverse(pose)
+            )
+            rng = jnp.linalg.norm(local, axis=-1)
+            brg = jnp.arctan2(local[:, 1], local[:, 0])
+            return (rng < tstd * 5.0 + dims.max_range) & (
+                jnp.abs(brg) < rstd * 5.0 + dims.half_aperture
+            )
+
+        sels = jax.vmap(frame_sel)(safe_src) & src_keys_ok[:, None]
+        sel = jnp.any(sels, axis=0).reshape(K, N) & gmask
+
+        # per-frame gated counts; pick frame with most points (>10)
+        counts = jnp.sum(sel, axis=1)
+        counts_ok = counts > 10
+        total_sel = jnp.sum(counts)
+        t1 = jnp.argmax(jnp.where(counts_ok, counts, -1))
+        have_target = jnp.any(counts_ok) & (
+            total_sel >= params.nssm_min_points
+        ) & (n_src >= params.nssm_min_points)
+
+        tpose1 = c.poses[t1]
+        flat_sel = sel.reshape(-1)
+        local1 = se2_transform_points(
+            global_pts.reshape(-1, 2), se2_inverse(tpose1)
+        )
+        tpts1, tmask1 = voxel_downsample(local1, flat_sel, spec, M)
+
+        # Sobol global init; bounds from the source keyframe marginal cov
+        # (intended behavior; the reference reuses a leftover loop variable
+        # here — slam.py:929 — documented divergence)
+        cov_src = c.covs[src_key]
+        tstd = jnp.sqrt(jnp.max(jnp.linalg.eigvalsh(cov_src[:2, :2])))
+        rstd = jnp.sqrt(cov_src[2, 2])
+        bounds = 5.0 * jnp.stack([tstd, tstd, rstd])
+        gi = global_initialize(
+            src_pts, src_mask, tpts1, tmask1, src_pose, tpose1,
+            bounds=bounds,
+            unit_samples=params.nssm_sobol_pts,
+            point_noise=params.point_noise,
+            num_guesses=max(dims.nssm_cov_samples, 1),
+        )
+
+        # overlap-based target re-selection (slam.py:975-999)
+        est_src_pose = se2_compose(src_pose, gi.best_delta)
+        est_global = se2_transform_points(src_pts, est_src_pose)
+        idx, _ = nn_match(
+            global_pts.reshape(-1, 2), flat_sel, est_global, src_mask,
+            params.point_noise,
+        )
+        matched = idx != -1
+        matched_frame = jnp.clip(idx, 0, K * N - 1) // N
+        counts2 = (
+            jnp.zeros((K,), jnp.int32)
+            .at[matched_frame]
+            .add(matched.astype(jnp.int32))
+        )
+        have_overlap = jnp.sum(matched) > 0
+        t2 = jnp.argmax(counts2)
+        tpose2 = c.poses[t2]
+
+        # target points for ICP: the candidate frames' FULL clouds in t2 frame
+        cand = counts_ok  # frames that passed the >10 gated-point cut
+        rel = jax.vmap(lambda k: se2_between(tpose2, c.poses[k]))(kf_idx)
+        local2 = jax.vmap(se2_transform_points)(c.points, rel).reshape(-1, 2)
+        mask2 = (c.pmasks & cand[:, None]).reshape(-1)
+        tpts2, tmask2 = voxel_downsample(local2, mask2, spec, M)
+
+        guesses = gi.guesses_vs(tpose2)
+        mres = icp_multistart(
+            src_pts, src_mask, tpts2, tmask2, guesses,
+            gi.guess_mask, dims.icp,
+        )
+        mu, scov, n_ok = estimate_pose_covariance(mres.pose, mres.ok)
+        enough_samples = n_ok >= 5
+        lcov = localize_covariance(scov, mu)
+        lcov, _ = apply_covariance_floor(lcov, params.icp_odom_sigmas)
+
+        # gates (slam.py:1064-1086)
+        delta = se2_between(guesses[0], mu)
+        small = (jnp.linalg.norm(delta[:2]) <= params.nssm_max_translation) & (
+            jnp.abs(delta[2]) <= params.nssm_max_rotation
+        )
+        overlap = count_overlap(
+            se2_transform_points(src_pts, mu), src_mask,
+            tpts2, tmask2, params.point_noise,
+        )
+        enough_ov = overlap >= params.nssm_min_points
+
+        ok = have_target & have_overlap & enough_samples & small & enough_ov
+        status = jnp.where(
+            ok,
+            STATUS_SUCCESS,
+            jnp.where(
+                ~have_target,
+                STATUS_NOT_ENOUGH_POINTS,
+                jnp.where(
+                    ~have_overlap | ~enough_ov,
+                    STATUS_NOT_ENOUGH_OVERLAP,
+                    jnp.where(~enough_samples, STATUS_NOT_CONVERGED,
+                              STATUS_LARGE_TRANSFORMATION),
+                ),
+            ),
+        ).astype(jnp.int32)
+        return ok, status, src_key, t2, mu, lcov, overlap
+
+    def skip_nssm(c):
+        return (
+            jnp.asarray(False),
+            jnp.asarray(STATUS_NOT_ENOUGH_POINTS, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(-1, jnp.int32),
+            jnp.zeros(3, jnp.float32),
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.asarray(0, jnp.int32),
+        )
+
+    nssm_ok, nssm_status, nsrc, ntgt, ntf, ncov, nssm_overlap = jax.lax.cond(
+        nssm_eligible, run_nssm, skip_nssm, carry
+    )
+
+    # ---------------- PCM queue + loop insertion (slam.py:1089-1130) -------
+    def with_loop(c: SlamCarry):
+        Q = dims.pcm_queue_slots
+        head = c.q_head
+        c = c._replace(
+            q_source=c.q_source.at[head].set(nsrc),
+            q_target=c.q_target.at[head].set(ntgt),
+            q_tf=c.q_tf.at[head].set(ntf),
+            q_cov=c.q_cov.at[head].set(ncov),
+            q_inserted=c.q_inserted.at[head].set(False),
+            q_used=c.q_used.at[head].set(True),
+            q_head=(head + 1) % Q,
+        )
+        # retire entries older than the sliding window (slam.py:1092-1097)
+        in_window = (nsrc - c.q_source) <= params.pcm_queue_size
+        q_valid = c.q_used & in_window
+
+        # current poses / effective transforms (update_factor_graph re-poses
+        # inserted entries, slam.py:1237-1241)
+        sp = c.poses[c.q_source]
+        tp = c.poses[c.q_target]
+        tf_eff = jnp.where(
+            c.q_inserted[:, None],
+            jax.vmap(se2_between)(tp, sp),
+            c.q_tf,
+        )
+        accept_mask, _ = pcm_select(
+            sp, tp, tf_eff, c.q_cov, q_valid, min_pcm=0
+        )
+        # min_pcm gate applied on size (traced):
+        size = jnp.sum(accept_mask)
+        accept_mask = accept_mask & (size >= params.min_pcm)
+
+        to_insert = accept_mask & ~c.q_inserted
+
+        def insert_one(cc: SlamCarry, qi):
+            en = to_insert[qi]
+            g = add_between(
+                cc.graph,
+                c.q_target[qi],
+                c.q_source[qi],
+                c.q_tf[qi],
+                cov_to_sqrt_info(c.q_cov[qi]),
+                robust=False,
+                enabled=en,
+            )
+            li = cc.num_loops
+            cc = cc._replace(
+                graph=g,
+                loops_i=jnp.where(
+                    en, cc.loops_i.at[jnp.clip(li, 0, dims.max_loops - 1)]
+                    .set(c.q_target[qi]), cc.loops_i
+                ),
+                loops_j=jnp.where(
+                    en, cc.loops_j.at[jnp.clip(li, 0, dims.max_loops - 1)]
+                    .set(c.q_source[qi]), cc.loops_j
+                ),
+                num_loops=cc.num_loops + en.astype(jnp.int32),
+                q_inserted=cc.q_inserted.at[qi].set(
+                    cc.q_inserted[qi] | en
+                ),
+            )
+            return cc, None
+
+        c, _ = jax.lax.scan(insert_one, c, jnp.arange(dims.pcm_queue_slots))
+        any_inserted = jnp.any(to_insert)
+
+        # second graph update when a loop landed (slam_ros.py:207-208)
+        def reupdate(cc: SlamCarry):
+            g = optimize(cc.graph, gcfg)
+            cov = marginal_covariance(g, key, gcfg)
+            return cc._replace(graph=g, poses=g.poses, covs=cc.covs.at[key].set(cov))
+
+        c = jax.lax.cond(any_inserted, reupdate, lambda cc: cc, c)
+        return c, any_inserted
+
+    carry, loop_added = jax.lax.cond(
+        nssm_ok, with_loop, lambda c: (c, jnp.asarray(False)), carry
+    )
+
+    out = StepOutputs(
+        pose=carry.poses[key],
+        cov=carry.covs[key],
+        ssm_status=ssm_status,
+        ssm_used_icp=ssm_ok,
+        nssm_status=nssm_status,
+        nssm_target=ntgt,
+        loop_added=loop_added,
+        ssm_overlap=ssm_overlap.astype(jnp.int32),
+        nssm_overlap=nssm_overlap.astype(jnp.int32),
+    )
+    return carry, out
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def slam_scan(frames: KeyframeInput, params: SlamParams, dims: SlamDims):
+    """Run the whole SLAM over stacked keyframe inputs (leading axis K').
+
+    The flagship fused program: one ``lax.scan`` whose step contains the
+    complete reference SLAM callback (SSM + ISAM2-equivalent update + NSSM +
+    PCM + conditional re-update).
+    """
+
+    def body(carry, frame):
+        return keyframe_step(carry, KeyframeInput(*frame), params, dims)
+
+    return jax.lax.scan(body, slam_init(dims), tuple(frames))

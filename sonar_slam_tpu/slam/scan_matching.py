@@ -83,8 +83,19 @@ def match_count_costs(
 class GlobalInitResult(NamedTuple):
     best_delta: jax.Array  # (3,) best perturbation of source_pose
     best_cost: jax.Array  # scalar (negative overlap count)
-    guesses: jax.Array  # (G, 3) deduped target->source ICP initial transforms
+    guess_poses: jax.Array  # (G, 3) deduped sampled source poses, best first
     guess_mask: jax.Array  # (G,)
+
+    def guesses_vs(self, target_pose: jax.Array) -> jax.Array:
+        """ICP initial transforms relative to a target pose.
+
+        The reference dedups transforms ``target.between(sample)``
+        (`slam_objects.py:287-300`), but the pairwise distance used for the
+        epsilon test is target-independent (between(t⁻¹a, t⁻¹b) = a⁻¹b), so
+        we dedup sample poses once and can re-target the guesses after the
+        NSSM overlap-based target re-selection (`slam.py:975-999`).
+        """
+        return jax.vmap(lambda p: se2_between(target_pose, p))(self.guess_poses)
 
 
 def global_initialize(
@@ -121,33 +132,34 @@ def global_initialize(
         point_noise,
     )
     order = jnp.argsort(costs)  # ascending cost = best first
-    sorted_tf = transforms[order]
+    sample_poses = jax.vmap(lambda d: se2_compose(source_pose, d))(deltas)
+    sorted_poses = sample_poses[order]
     best = order[0]
 
     # sequential eps-dedup over the sorted list (slam_objects.py:287-300):
-    # keep a transform if it differs from the LAST KEPT one by >= eps
-    def dedup_step(carry, tf):
+    # keep a sample if it differs from the LAST KEPT one by >= eps
+    def dedup_step(carry, p):
         last, kept_count = carry
-        d = jnp.linalg.norm(tf - last)
+        d = jnp.linalg.norm(se2_between(last, p))
         keep = (d >= dedup_eps) | (kept_count == 0)
-        new_last = jnp.where(keep, tf, last)
-        return (new_last, kept_count + keep.astype(jnp.int32)), (keep, tf)
+        new_last = jnp.where(keep, p, last)
+        return (new_last, kept_count + keep.astype(jnp.int32)), (keep, p)
 
-    (_, total), (keeps, tfs) = jax.lax.scan(
+    (_, total), (keeps, poses_out) = jax.lax.scan(
         dedup_step, (jnp.full((3,), 1e9, jnp.float32), jnp.asarray(0, jnp.int32)),
-        sorted_tf,
+        sorted_poses,
     )
-    # compact the kept transforms to the front, take first num_guesses
+    # compact the kept samples to the front, take first num_guesses
     kept_rank = jnp.cumsum(keeps.astype(jnp.int32)) - 1
     G = num_guesses
-    # scatter kept transforms into their rank slot; out-of-range writes drop
+    # scatter kept samples into their rank slot; out-of-range writes drop
     slot = jnp.where(keeps, kept_rank, G)
-    out = jnp.zeros((G, 3), jnp.float32).at[slot].set(tfs, mode="drop")
+    out = jnp.zeros((G, 3), jnp.float32).at[slot].set(poses_out, mode="drop")
     guess_mask = jnp.arange(G) < jnp.minimum(total, G)
     return GlobalInitResult(
         best_delta=deltas[best],
         best_cost=costs[best],
-        guesses=out,
+        guess_poses=out,
         guess_mask=guess_mask,
     )
 

@@ -90,12 +90,16 @@ def test_global_initialize_finds_offset():
         np.asarray(res.best_delta), np.asarray(true_delta), atol=0.3
     )
     assert float(res.best_cost) <= -100
-    # guesses: deduped, masked, best-first
-    assert res.guesses.shape == (8, 3)
+    # guesses: deduped, masked, best-first; re-targetable to any target pose
+    guesses = np.asarray(res.guesses_vs(target_pose))
+    assert guesses.shape == (8, 3)
     assert bool(res.guess_mask[0])
-    g = np.asarray(res.guesses)
     m = np.asarray(res.guess_mask)
-    kept = g[m]
+    kept = guesses[m]
+    np.testing.assert_allclose(
+        kept[0], np.asarray(se2_between(target_pose, se2_compose(believed, res.best_delta))),
+        atol=1e-5,
+    )
     for i in range(1, len(kept)):
         assert np.linalg.norm(kept[i] - kept[i - 1]) >= 0.01 - 1e-6
 
