@@ -23,6 +23,7 @@ Usage: python bench.py [--cpu] [--small] [--json-only]
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -42,6 +43,11 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the fused SLAM scan is a large program and
+    # this environment compiles remotely — cache makes reruns near-instant
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from sonar_slam_tpu.cloud import ICPConfig

@@ -42,13 +42,38 @@ class DRTickBundle(NamedTuple):
     tick_time: np.ndarray  # (T,) for downstream matching (host copy)
 
 
-def _nearest(ref_times: np.ndarray, query_times: np.ndarray):
-    """Index of nearest ref time for each query; (idx, |dt|)."""
-    if len(ref_times) == 0:
-        return (
-            np.zeros(len(query_times), np.int64),
-            np.full(len(query_times), np.inf),
+def _native_runtime():
+    """The optional C++ host runtime (native/runtime.py); None if absent."""
+    try:
+        import importlib.util
+        import os as _os
+
+        path = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__)))), "native", "runtime.py",
         )
+        spec = importlib.util.spec_from_file_location("sonar_native_runtime", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod if mod.available() else None
+    except Exception:
+        return None
+
+
+_NATIVE = None
+_NATIVE_CHECKED = False
+
+
+def _native():
+    global _NATIVE, _NATIVE_CHECKED
+    if not _NATIVE_CHECKED:
+        _NATIVE = _native_runtime()
+        _NATIVE_CHECKED = True
+    return _NATIVE
+
+
+def _nearest_np(ref_times: np.ndarray, query_times: np.ndarray):
+    """Pure-NumPy nearest-time alignment (reference impl for the native one)."""
     pos = np.searchsorted(ref_times, query_times)
     lo = np.clip(pos - 1, 0, len(ref_times) - 1)
     hi = np.clip(pos, 0, len(ref_times) - 1)
@@ -59,12 +84,33 @@ def _nearest(ref_times: np.ndarray, query_times: np.ndarray):
     return idx, np.abs(ref_times[idx] - query_times)
 
 
+def _last_at_or_before_np(ref_times: np.ndarray, query_times: np.ndarray):
+    """Pure-NumPy Cache.getLast alignment (reference impl)."""
+    return np.searchsorted(ref_times, query_times, side="right") - 1
+
+
+def _nearest(ref_times: np.ndarray, query_times: np.ndarray):
+    """Index of nearest ref time for each query; (idx, |dt|). Dispatches to
+    the C++ runtime when built, else NumPy."""
+    if len(ref_times) == 0:
+        return (
+            np.zeros(len(query_times), np.int64),
+            np.full(len(query_times), np.inf),
+        )
+    nat = _native()
+    if nat is not None:
+        return nat.align_nearest(ref_times, query_times)
+    return _nearest_np(ref_times, query_times)
+
+
 def _last_at_or_before(ref_times: np.ndarray, query_times: np.ndarray):
-    """Index of last ref time <= query (the Cache.getLast semantics);
-    -1 when none."""
+    """Index of last ref time <= query (Cache.getLast); -1 when none."""
     if len(ref_times) == 0:
         return np.full(len(query_times), -1, np.int64)
-    return np.searchsorted(ref_times, query_times, side="right") - 1
+    nat = _native()
+    if nat is not None:
+        return nat.align_last_before(ref_times, query_times)
+    return _last_at_or_before_np(ref_times, query_times)
 
 
 def build_dr_ticks(
