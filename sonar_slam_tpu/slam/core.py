@@ -69,6 +69,7 @@ from .scan_matching import (
     estimate_pose_covariance,
     global_initialize,
     localize_covariance,
+    max_eig_2x2,
     sobol_unit_samples,
 )
 
@@ -512,9 +513,7 @@ def keyframe_step(
         def frame_sel(k):
             pose = c.poses[k]
             cov = c.covs[k]
-            tstd = jnp.sqrt(
-                jnp.max(jnp.linalg.eigvalsh(cov[:2, :2]))
-            )
+            tstd = jnp.sqrt(max_eig_2x2(cov[:2, :2]))
             rstd = jnp.sqrt(cov[2, 2])
             local = se2_transform_points(
                 global_pts.reshape(-1, 2), se2_inverse(pose)
@@ -548,7 +547,7 @@ def keyframe_step(
         # (intended behavior; the reference reuses a leftover loop variable
         # here — slam.py:929 — documented divergence)
         cov_src = c.covs[src_key]
-        tstd = jnp.sqrt(jnp.max(jnp.linalg.eigvalsh(cov_src[:2, :2])))
+        tstd = jnp.sqrt(max_eig_2x2(cov_src[:2, :2]))
         rstd = jnp.sqrt(cov_src[2, 2])
         bounds = 5.0 * jnp.stack([tstd, tstd, rstd])
         gi = global_initialize(

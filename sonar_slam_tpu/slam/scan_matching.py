@@ -164,6 +164,33 @@ def global_initialize(
     )
 
 
+def max_eig_2x2(m: jax.Array) -> jax.Array:
+    """Largest eigenvalue of a symmetric 2x2, closed form.
+
+    jnp.linalg.eigvalsh lowers to an enormous QDWH/Jacobi HLO program on TPU
+    (minutes of compile time); for the 2x2 covariance blocks used by the
+    5-sigma NSSM gates (`slam.py:885,929`) the quadratic formula suffices.
+    """
+    a, b, c = m[0, 0], m[0, 1], m[1, 1]
+    h = 0.5 * (a + c)
+    d = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    return h + d
+
+
+def _logdet_psd_3x3(m: jax.Array) -> jax.Array:
+    """log(det) of a (ridged) PSD 3x3 via Cholesky: 2*sum(log(diag(L))).
+
+    Avoids eigvalsh (TPU compile blow-up) and both failure modes of a raw
+    det(): fp32 sign flips on ill-conditioned matrices and catastrophic
+    cancellation of the cofactor expansion for tiny determinants. Non-PD
+    inputs (NaN diagonal) map to +inf so they lose the argmin.
+    """
+    L = jnp.linalg.cholesky(m)
+    d = jnp.diagonal(L)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.clip(d, 1e-20, None)))
+    return jnp.where(jnp.isnan(logdet), jnp.inf, logdet)
+
+
 def estimate_pose_covariance(
     samples: jax.Array,  # (G, 3) successful ICP transforms
     sample_mask: jax.Array,  # (G,)
@@ -208,10 +235,9 @@ def estimate_pose_covariance(
     def run_from(w0):
         w, _ = jax.lax.scan(c_step, w0, None, length=c_steps)
         mu, cov = mean_cov(w)
-        # objective: log-det via clamped eigenvalues — a raw fp32 det() of an
-        # ill-conditioned covariance can round negative and hijack the argmin
-        eig = jnp.linalg.eigvalsh(cov + ridge)
-        logdet = jnp.sum(jnp.log(jnp.clip(eig, 1e-12, None)))
+        # objective: clamped log-det — a raw fp32 det() of an ill-conditioned
+        # covariance can round negative and hijack the argmin
+        logdet = _logdet_psd_3x3(cov + ridge)
         # degenerate supports (duplicate cluster) are valid MCD minima only
         # when they cover h true samples; guard collapsed subsets
         return mu, cov, jnp.where(
