@@ -119,30 +119,46 @@ def main() -> None:
     ping_images = jnp.asarray(bag.ping_images)
     extractor = FeatureExtractor(feature_config, bag.geometry)
 
-    def device_pipeline():
+    # Two fused device programs: the tunneled remote device adds >100 ms per
+    # dispatch, so the pipeline is exactly (1) DR + keyframe gate, (2) gather
+    # + CFAR + SLAM scan, with one tiny host round-trip for the data-
+    # dependent keyframe indices in between.
+    ping_time_dev = jnp.asarray(bag.ping_time, jnp.float32)
+    sync_dev = jnp.asarray(sync_ok)
+
+    @jax.jit
+    def stage1():
         _, dr3 = dead_reckoning_scan(bundle.ticks, dr_config)
         ping_dr3 = dr3[tick_idx]
-        ping_dr2 = pose3_to_pose2(ping_dr3)
         kf_mask = select_keyframes(
-            jnp.asarray(bag.ping_time), ping_dr2, jnp.asarray(sync_ok), params
+            ping_time_dev, pose3_to_pose2(ping_dr3), sync_dev, params
         )
-        # keyframe gather (host round-trip: indices are data-dependent)
+        return kf_mask, ping_dr3
+
+    @jax.jit
+    def stage2(sel, valid, ping_dr3):
+        pts, masks = extractor.extract_batch_traced(ping_images[sel])
+        masks = masks & valid[:, None]
+        frames = KeyframeInput(
+            time=ping_time_dev[sel],
+            dr_pose3=ping_dr3[sel],
+            points=pts,
+            pmask=masks,
+            valid=valid,
+        )
+        return slam_scan(frames, params, dims)
+
+    def device_pipeline():
+        kf_mask, ping_dr3 = stage1()
         kf_idx = np.nonzero(np.asarray(kf_mask))[0]
         K = dims.max_keyframes
         kf_idx = kf_idx[:K]
         valid = np.zeros(K, bool)
         valid[: len(kf_idx)] = True
         sel = np.concatenate([kf_idx, np.zeros(K - len(kf_idx), np.int64)])
-        pts, masks = extractor.extract_batch(ping_images[sel])
-        masks = masks & jnp.asarray(valid)[:, None]
-        frames = KeyframeInput(
-            time=jnp.asarray(bag.ping_time[sel], jnp.float32),
-            dr_pose3=ping_dr3[sel],
-            points=pts,
-            pmask=masks,
-            valid=jnp.asarray(valid),
+        carry, outputs = stage2(
+            jnp.asarray(sel), jnp.asarray(valid), ping_dr3
         )
-        carry, outputs = slam_scan(frames, params, dims)
         jax.block_until_ready(carry.poses)
         return carry, kf_idx
 

@@ -24,7 +24,15 @@ def pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
     """
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
-    d2 = a2 + jnp.swapaxes(b2, -1, -2) - 2.0 * (a @ jnp.swapaxes(b, -1, -2))
+    # HIGHEST precision: the default bf16 MXU pass loses ~1e-2 relative on
+    # squared distances at 30 m ranges — enough to corrupt NN matching and
+    # overlap gates (cm-level SLAM accuracy requires fp32 here)
+    ab = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((a.ndim - 1,), (b.ndim - 1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = a2 + jnp.swapaxes(b2, -1, -2) - 2.0 * ab
     return jnp.maximum(d2, 0.0)
 
 

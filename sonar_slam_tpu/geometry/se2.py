@@ -134,4 +134,9 @@ def se2_transform_points(points: jax.Array, pose: jax.Array) -> jax.Array:
     """
     R = se2_rotmat(pose[..., 2])
     t = pose[..., None, :2]
-    return points @ jnp.swapaxes(R, -1, -2) + t
+    # fp32 MXU pass: bf16 would quantize 30 m coordinates to ~0.1 m
+    return (
+        jnp.matmul(points, jnp.swapaxes(R, -1, -2),
+                   precision=jax.lax.Precision.HIGHEST)
+        + t
+    )

@@ -139,4 +139,8 @@ def pose3_transform_points(points: jax.Array, p: jax.Array) -> jax.Array:
     (``Keyframe.transform_points_3D``, `slam_objects.py:200-223`)."""
     R = pose3_rotmat(p)
     t = p[..., None, :3]
-    return points @ jnp.swapaxes(R, -1, -2) + t
+    return (
+        jnp.matmul(points, jnp.swapaxes(R, -1, -2),
+                   precision=jax.lax.Precision.HIGHEST)
+        + t
+    )

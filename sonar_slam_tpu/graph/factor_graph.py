@@ -182,8 +182,10 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
     H = jnp.zeros((3 * K, 3 * K), jnp.float32)
     b = jnp.zeros((3 * K,), jnp.float32)
 
+    hp = jax.lax.Precision.HIGHEST
+
     def blocks(Ja, Jb):
-        return jnp.einsum("fab,fac->fbc", Ja, Jb)
+        return jnp.einsum("fab,fac->fbc", Ja, Jb, precision=hp)
 
     def idx(keys):
         return 3 * keys[:, None] + jnp.arange(3)[None, :]  # (F, 3)
@@ -193,8 +195,8 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
     H = H.at[ii[:, :, None], jj[:, None, :]].add(blocks(Ji, Jj))
     H = H.at[jj[:, :, None], ii[:, None, :]].add(blocks(Jj, Ji))
     H = H.at[jj[:, :, None], jj[:, None, :]].add(blocks(Jj, Jj))
-    b = b.at[ii].add(jnp.einsum("fab,fa->fb", Ji, r))
-    b = b.at[jj].add(jnp.einsum("fab,fa->fb", Jj, r))
+    b = b.at[ii].add(jnp.einsum("fab,fa->fb", Ji, r, precision=hp))
+    b = b.at[jj].add(jnp.einsum("fab,fa->fb", Jj, r, precision=hp))
 
     # prior factor on X(0)
     def fprior(d):
@@ -232,21 +234,43 @@ def optimize(state: GraphState, config: GraphConfig) -> GraphState:
         new_poses = jnp.where(valid, jax.vmap(se2_retract)(poses, delta), poses)
         return new_poses, None
 
-    poses, _ = jax.lax.scan(body, state.poses, None, length=config.gn_iters)
+    # fp32 throughout: the factorization/solves lower to blocked matmuls and
+    # the default bf16 MXU pass would wash out cm-level pose corrections
+    with jax.default_matmul_precision("highest"):
+        poses, _ = jax.lax.scan(body, state.poses, None, length=config.gn_iters)
     return state._replace(poses=poses)
+
+
+def optimize_with_marginal(state: GraphState, k, config: GraphConfig):
+    """``optimize`` + the marginal covariance of pose ``k`` from the FINAL
+    linearization, reusing one normal-equation assembly + Cholesky instead of
+    rebuilding them in a separate ``marginal_covariance`` call (the per-
+    keyframe hot path of the SLAM scan does this every step)."""
+    K = config.max_poses
+
+    with jax.default_matmul_precision("highest"):
+        state = optimize(state, config)
+        H, _ = _assemble_normal_equations(state, config)
+        L = jnp.linalg.cholesky(H)
+        e = jnp.zeros((3 * K, 3), jnp.float32)
+        rows = 3 * jnp.asarray(k, jnp.int32) + jnp.arange(3)
+        e = e.at[rows, jnp.arange(3)].set(1.0)
+        cols = jax.scipy.linalg.cho_solve((L, True), e)
+    return state, cols[rows, :]
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def marginal_covariance(state: GraphState, k, config: GraphConfig) -> jax.Array:
     """3x3 marginal covariance of pose k (gtsam isam.marginalCovariance,
     `slam.py:1233`): the (k, k) block of H⁻¹ at the current linearization."""
-    H, _ = _assemble_normal_equations(state, config)
-    L = jnp.linalg.cholesky(H)
-    e = jnp.zeros((3 * config.max_poses, 3), jnp.float32)
-    rows = 3 * jnp.asarray(k, jnp.int32) + jnp.arange(3)
-    e = e.at[rows, jnp.arange(3)].set(1.0)
-    cols = jax.scipy.linalg.cho_solve((L, True), e)
-    return cols[rows, :]
+    with jax.default_matmul_precision("highest"):
+        H, _ = _assemble_normal_equations(state, config)
+        L = jnp.linalg.cholesky(H)
+        e = jnp.zeros((3 * config.max_poses, 3), jnp.float32)
+        rows = 3 * jnp.asarray(k, jnp.int32) + jnp.arange(3)
+        e = e.at[rows, jnp.arange(3)].set(1.0)
+        cols = jax.scipy.linalg.cho_solve((L, True), e)
+        return cols[rows, :]
 
 
 class Smoother:

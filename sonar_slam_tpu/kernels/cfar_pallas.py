@@ -1,0 +1,111 @@
+"""Fused Pallas TPU kernel for the sum-based CFAR variants (CA/SOCA/GOCA).
+
+The XLA version in ``cfar.py`` materializes a prefix-sum tensor in HBM and
+performs four gathers; this kernel keeps each (R, 128-beam) tile resident in
+VMEM and forms the leading/lagging training sums with ``2 * train_hs``
+unrolled sublane rolls + adds — pure VPU work with a single HBM read of the
+image and a single write of (mask, threshold). The detection compare and the
+downstream intensity gate (``img > threshold`` from feature.yaml) are fused
+into the same kernel, so the whole front-end detector is one memory pass.
+
+Grid: (num_frames, num_beam_tiles); each program handles one (R, 128) tile of
+one frame. Row-border semantics identical to cfar.py / cfar.cpp (rows within
+train_hs + guard_hs of either edge never detect). OS-CFAR keeps the XLA sort
+path (a windowed rank statistic needs a per-window sort; XLA's sort is
+already near-roofline for the <=40-wide windows).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _cfar_kernel(img_ref, det_ref, thr_ref, *, train_hs, guard_hs, tau,
+                 mode, intensity_threshold, rows):
+    x = img_ref[0]  # (R_pad, 128) f32 (leading frame axis is a unit block)
+    lead = jnp.zeros_like(x)
+    lag = jnp.zeros_like(x)
+    n_rows = x.shape[0]
+    for j in range(guard_hs + 1, guard_hs + train_hs + 1):
+        # training cell at row r - j (leading) / r + j (lagging); rolls wrap,
+        # but wrapped rows only affect the border band that is masked below.
+        # pltpu.roll requires non-negative shifts: roll(-j) == roll(n - j).
+        lead = lead + pltpu.roll(x, j, axis=0)
+        lag = lag + pltpu.roll(x, n_rows - j, axis=0)
+    if mode == "CA":
+        stat = (lead + lag) / (2.0 * train_hs)
+    elif mode == "SOCA":
+        stat = jnp.minimum(lead, lag) / train_hs
+    else:  # GOCA
+        stat = jnp.maximum(lead, lag) / train_hs
+    thr = tau * stat
+
+    hw = train_hs + guard_hs
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    valid = (row_ids >= hw) & (row_ids < rows - hw)
+
+    det = (x > thr) & valid
+    if intensity_threshold is not None:
+        det = det & (x > intensity_threshold)
+    det_ref[0] = det.astype(jnp.uint8)
+    thr_ref[0] = jnp.where(valid, thr, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("train_hs", "guard_hs", "tau", "mode",
+                              "intensity_threshold"),
+)
+def cfar_pallas_batch(
+    imgs: jax.Array,  # (B, R, C) float32 polar frames
+    train_hs: int,
+    guard_hs: int,
+    tau: float,
+    mode: str = "SOCA",
+    intensity_threshold: float | None = None,
+):
+    """Batched fused CFAR: returns (detections (B,R,C) bool, thresholds f32).
+
+    ``intensity_threshold`` fuses the reference's ``peaks &= img > threshold``
+    gate (`feature_extraction.py:223-224`) into the kernel.
+    """
+    B, R, C = imgs.shape
+    r_pad = (8 - R % 8) % 8
+    c_pad = (_LANE - C % _LANE) % _LANE
+    x = jnp.pad(imgs.astype(jnp.float32), ((0, 0), (0, r_pad), (0, c_pad)))
+    Rp, Cp = R + r_pad, C + c_pad
+
+    kernel = functools.partial(
+        _cfar_kernel,
+        train_hs=train_hs,
+        guard_hs=guard_hs,
+        tau=tau,
+        mode=mode,
+        intensity_threshold=intensity_threshold,
+        rows=R,
+    )
+    det, thr = pl.pallas_call(
+        kernel,
+        grid=(B, Cp // _LANE),
+        in_specs=[
+            pl.BlockSpec((1, Rp, _LANE), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Rp, _LANE), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rp, _LANE), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Rp, Cp), jnp.uint8),
+            jax.ShapeDtypeStruct((B, Rp, Cp), jnp.float32),
+        ),
+    )(x)
+    return det[:, :R, :C].astype(bool), thr[:, :R, :C]

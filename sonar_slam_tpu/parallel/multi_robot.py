@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..cloud import ICPConfig, count_overlap, icp
-from ..geometry import se2_between
+from ..geometry import se2_between, se2_transform_points
 
 
 class KeyframeSummary(NamedTuple):
@@ -80,9 +80,9 @@ def merge_interrobot_factors(
         res = icp(
             nb_points, nb_mask, own.points, own.pmask, guess, icp_config
         )
-        ov = count_overlap(
-            nb_points, nb_mask, own.points, own.pmask, point_noise
-        )
+        # overlap evaluated after registration, as in SLAM.get_overlap
+        moved = se2_transform_points(nb_points, res.pose)
+        ov = count_overlap(moved, nb_mask, own.points, own.pmask, point_noise)
         ok = res.ok & (ov >= min_overlap) & (nb_robot != own.robot_id)
         return res.pose, ok, ov
 

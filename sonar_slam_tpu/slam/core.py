@@ -58,8 +58,7 @@ from ..graph.factor_graph import (
     add_prior,
     cov_to_sqrt_info,
     graph_init,
-    marginal_covariance,
-    optimize,
+    optimize_with_marginal,
     set_pose_estimate,
     sigmas_to_sqrt_info,
 )
@@ -470,8 +469,7 @@ def keyframe_step(
 
     # ---------------- first graph update (slam.py:1210-1241) --------------
     def do_update(c: SlamCarry) -> SlamCarry:
-        g = optimize(c.graph, gcfg)
-        cov = marginal_covariance(g, key, gcfg)
+        g, cov = optimize_with_marginal(c.graph, key, gcfg)
         return c._replace(
             graph=g,
             poses=g.poses,
@@ -705,8 +703,7 @@ def keyframe_step(
 
         # second graph update when a loop landed (slam_ros.py:207-208)
         def reupdate(cc: SlamCarry):
-            g = optimize(cc.graph, gcfg)
-            cov = marginal_covariance(g, key, gcfg)
+            g, cov = optimize_with_marginal(cc.graph, key, gcfg)
             return cc._replace(graph=g, poses=g.poses, covs=cc.covs.at[key].set(cov))
 
         c = jax.lax.cond(any_inserted, reupdate, lambda cc: cc, c)

@@ -57,9 +57,19 @@ class FeatureConfig(NamedTuple):
 class FeatureExtractor:
     """Builds the static pieces (tau, voxel grid, cell tables) once per
     (config, geometry) — the analog of ``FeatureExtraction.configure`` +
-    ``generate_map_xy`` caching (`feature_extraction.py:78-81,134-173`)."""
+    ``generate_map_xy`` caching (`feature_extraction.py:78-81,134-173`).
 
-    def __init__(self, config: FeatureConfig, geometry: SonarGeometry):
+    ``use_pallas``: "auto" selects the fused Pallas detector (CFAR + intensity
+    gate in one VMEM pass, kernels/cfar_pallas.py) on TPU for the sum-based
+    variants; "never" forces the XLA path (always used for OS and on CPU).
+    """
+
+    def __init__(
+        self,
+        config: FeatureConfig,
+        geometry: SonarGeometry,
+        use_pallas: str = "auto",
+    ):
         self.config = config
         self.geometry = geometry
         t, g = config.ntc // 2, config.ngc // 2
@@ -113,6 +123,40 @@ class FeatureExtractor:
         self._pipeline = _pipeline
         self._pipeline_batch = jax.jit(jax.vmap(_pipeline))
 
+        self._pallas_ok = (
+            use_pallas != "never"
+            and config.alg in ("CA", "SOCA", "GOCA")
+            and jax.default_backend() not in ("cpu",)
+        )
+        if self._pallas_ok:
+            from ..kernels.cfar_pallas import cfar_pallas_batch
+
+            t, g = config.ntc // 2, config.ngc // 2
+
+            def _postprocess(flat_peaks):
+                pts, mask = voxel_downsample(
+                    self._cells, flat_peaks, self._spec, config.max_points
+                )
+                if config.outlier_min_points > 1:
+                    mask = remove_outlier(
+                        pts, mask, config.outlier_radius,
+                        config.outlier_min_points,
+                    )
+                return pts, mask
+
+            def _pallas_batch(imgs):
+                det, _ = cfar_pallas_batch(
+                    imgs.astype(jnp.float32), t, g, self.tau, config.alg,
+                    intensity_threshold=config.threshold,
+                )
+                return jax.vmap(_postprocess)(det.reshape(det.shape[0], -1))
+
+            # traceable (composes into larger jit programs) + jitted wrapper
+            self.extract_batch_traced = _pallas_batch
+            self._pallas_batch = jax.jit(_pallas_batch)
+        else:
+            self.extract_batch_traced = jax.vmap(_pipeline)
+
     def extract(self, img: jax.Array):
         """One polar frame [R, C] -> (points [max_points, 2], mask)."""
         return self._pipeline(img)
@@ -120,7 +164,9 @@ class FeatureExtractor:
     def extract_batch(self, imgs: jax.Array):
         """[B, R, C] frames -> ([B, max_points, 2], [B, max_points]) in one
         fused TPU call — the batched replacement for the per-ping ROS
-        callback."""
+        callback. Uses the fused Pallas detector on TPU."""
+        if self._pallas_ok:
+            return self._pallas_batch(imgs)
         return self._pipeline_batch(imgs)
 
     def detections(self, img: jax.Array):
