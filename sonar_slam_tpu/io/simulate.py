@@ -34,6 +34,8 @@ class SimConfig:
     dvl_rate: float = 5.0
     depth_rate: float = 4.0
     sonar_rate: float = 2.0
+    gyro_rate: float = 50.0  # FOG delta-angle rate (real sensor: 250 Hz)
+    gyro_noise: float = 2e-5  # delta-angle noise per sample (rad)
     num_ranges: int = 256
     num_bearings: int = 128
     max_range: float = 30.0
@@ -54,6 +56,8 @@ class SyntheticBag(NamedTuple):
     dvl_vel: np.ndarray  # (Td, 3) body-frame
     depth_time: np.ndarray  # (Tp,)
     depth: np.ndarray  # (Tp,)
+    gyro_time: np.ndarray  # (Tg,) FOG samples
+    gyro_delta: np.ndarray  # (Tg, 3) delta angles (yaw, pitch, roll channels)
     ping_time: np.ndarray  # (Ts,)
     ping_images: np.ndarray  # (Ts, R, C) float32
     # ground truth
@@ -173,6 +177,14 @@ def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
 
     depth = np.full_like(dep_t, cfg.depth) + rng.normal(scale=0.01, size=dep_t.shape)
 
+    # FOG delta angles: successive differences of the true yaw + noise
+    gyr_t = np.arange(0.003, cfg.duration, 1 / cfg.gyro_rate)
+    _, yaw_g, _ = _trajectory(cfg, gyr_t)
+    d_yaw = np.diff(np.unwrap(yaw_g), prepend=yaw_g[0])
+    gyro_delta = np.stack(
+        [d_yaw, np.zeros_like(d_yaw), np.zeros_like(d_yaw)], -1
+    ) + rng.normal(scale=cfg.gyro_noise, size=(len(gyr_t), 3))
+
     xy_png, yaw_png, _ = _trajectory(cfg, png_t)
     true_poses = np.concatenate([xy_png, yaw_png[:, None]], -1)
     # express ground truth relative to the start pose (SLAM frame convention:
@@ -191,6 +203,8 @@ def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
         dvl_vel=vel_dvl.astype(np.float32),
         depth_time=dep_t.astype(np.float32),
         depth=depth.astype(np.float32),
+        gyro_time=gyr_t.astype(np.float32),
+        gyro_delta=gyro_delta.astype(np.float32),
         ping_time=png_t.astype(np.float32),
         ping_images=imgs,
         true_pose_at_ping=true_poses.astype(np.float32),

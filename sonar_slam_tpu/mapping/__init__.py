@@ -17,4 +17,6 @@ from .occupancy import (
     occupancy_grid_method2,
     intensity_grid,
     grow,
+    resample_grid,
+    get_occupancy_map,
 )

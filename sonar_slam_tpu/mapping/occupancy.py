@@ -312,11 +312,65 @@ def update_poses(
     return state._replace(grid=render_global_logodds(state, model))
 
 
-def occupancy_grid_method1(state: MappingState, model: SubmapModel) -> jax.Array:
+def occupancy_grid_method1(
+    state: MappingState,
+    model: SubmapModel,
+    frames: jax.Array | None = None,
+) -> jax.Array:
     """Log-odds -> int8 occupancy 0..100 (`get_occupancy_grid1`,
-    `mapping.py:306-355`). Unobserved cells have log-odds 0 -> 50."""
-    probs = expit(state.grid)
+    `mapping.py:306-355`). Unobserved cells have log-odds 0 -> 50.
+
+    ``frames``: optional (K,) bool mask re-rendering only a subset of
+    keyframes (the GetOccupancyMap service semantics, `mapping.py:313-324`).
+    """
+    if frames is None:
+        grid = state.grid
+    else:
+        grid = render_global_logodds(
+            state._replace(kf_valid=state.kf_valid & frames), model
+        )
+    probs = expit(grid)
     return jnp.clip(jnp.round(100.0 * probs), 0, 100).astype(jnp.int8)
+
+
+def resample_grid(grid: jax.Array, src_resolution: float,
+                  dst_resolution: float) -> jax.Array:
+    """Nearest-neighbor resample to a coarser resolution (the service's
+    ``resolution`` argument; `mapping.py:330-341` uses cv2 INTER_NEAREST and
+    requires dst >= src)."""
+    if dst_resolution < src_resolution:
+        raise ValueError("target resolution must be >= map resolution")
+    ratio = src_resolution / dst_resolution
+    H, W = grid.shape
+    h, w = int(np.floor(H * ratio)), int(np.floor(W * ratio))
+    rr = jnp.clip((jnp.arange(h) / ratio).astype(jnp.int32), 0, H - 1)
+    cc = jnp.clip((jnp.arange(w) / ratio).astype(jnp.int32), 0, W - 1)
+    return grid[rr][:, cc]
+
+
+def get_occupancy_map(
+    state: MappingState,
+    model: SubmapModel,
+    frames: jax.Array | None = None,
+    resolution: float | None = None,
+    method: int = 1,
+    points=None,
+    pmask=None,
+):
+    """The GetOccupancyMap service (`bruce_msgs/srv/GetOccupancyMap.srv`,
+    served at `mapping_node.py:77,82-88`): occupancy for a keyframe subset at
+    a requested resolution. Returns (grid int8, resolution)."""
+    if method == 1:
+        occ = occupancy_grid_method1(state, model, frames)
+    else:
+        occ = occupancy_grid_method2(state, model, points, pmask)
+    res = model.config.resolution
+    if resolution is not None and resolution > 0 and abs(
+        resolution - res
+    ) > res * 1e-1:
+        occ = resample_grid(occ, res, resolution)
+        res = resolution
+    return occ, res
 
 
 def occupancy_grid_method2(

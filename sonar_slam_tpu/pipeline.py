@@ -2,14 +2,17 @@
 
 The reference's offline mode instantiates every node in one process and
 pumps rosbag messages through their callbacks
-(`/root/reference/bruce_slam/scripts/slam_node.py:8-65`). Here the replay is
-four fused device programs over pre-aligned tensors:
+(`/root/reference/bruce_slam/scripts/slam_node.py:8-65`), with launch-arg
+selection of the dead-reckoning vs Kalman front end and the optional FOG
+gyro (`launch/slam.launch:4,42-44`). Here the replay is a handful of fused
+device programs over pre-aligned tensors:
 
-1. ``dead_reckoning_scan`` over synchronized sensor ticks (one lax.scan),
-2. batched CFAR feature extraction over *keyframe pings only* (one vmap) —
-   keyframe selection needs only dead reckoning, so non-keyframe pings never
-   touch the detector (the reference runs CFAR on every ping),
-3. the keyframe-gate pre-pass (tiny scalar scan),
+1. odometry front end over synchronized ticks — dead reckoning (optionally
+   FOG-yaw-driven) or the 12-state Kalman filter (one lax.scan either way),
+2. the keyframe-gate pre-pass (tiny scalar scan; keyframe selection needs
+   only odometry, so non-keyframe pings never touch the detector — the
+   reference runs CFAR on every ping),
+3. batched CFAR feature extraction over keyframe pings (Pallas on TPU),
 4. ``slam_scan`` — the full SSM/NSSM/PCM smoother scan.
 """
 
@@ -21,8 +24,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .estimators import DRConfig, dead_reckoning_scan
-from .geometry import pose3_to_pose2
+from .estimators import (
+    DRConfig,
+    GyroConfig,
+    KalmanConfig,
+    dead_reckoning_scan,
+    gyro_integrate,
+    kalman_scan,
+)
+from .estimators.kalman import EVENT_DEPTH, EVENT_DVL, EVENT_IMU
+from .geometry import pose3_to_pose2, se2_between, se2_compose
 from .io.dataset import SensorStreams, build_dr_ticks, match_pings_to_ticks
 from .io.simulate import SyntheticBag
 from .slam.core import (
@@ -38,13 +49,44 @@ from .slam.frontend import FeatureConfig, FeatureExtractor
 class ReplayResult(NamedTuple):
     trajectory: np.ndarray  # (K', 3) optimized keyframe poses
     covs: np.ndarray  # (K', 3, 3)
-    dr_trajectory: np.ndarray  # (K', 3) dead-reckoning poses at keyframes
+    dr_trajectory: np.ndarray  # (K', 3) odometry poses at keyframes
     keyframe_times: np.ndarray  # (K',)
     keyframe_ping_idx: np.ndarray  # (K',) ping index of each keyframe
     num_keyframes: int
     outputs: object  # StepOutputs stacked (device arrays)
     carry: object  # final SlamCarry (for mapping / export / checkpoint)
-    dr_poses_at_ticks: np.ndarray  # (T, 6) full-rate dead reckoning
+    dr_poses_at_ticks: np.ndarray  # (T, 6) full-rate odometry
+    dense_trajectory: np.ndarray  # (Ts, 3) SLAM pose at EVERY ping (see below)
+
+
+def _kalman_odometry(bag: SyntheticBag, kalman_config: KalmanConfig):
+    """Merged sensor event stream -> full-rate pose3 at IMU events.
+
+    Returns (times (T,), poses3 (T, 6)) for the IMU-event subsequence (the
+    reference publishes odometry on IMU ticks, `kalman.py:217`).
+    """
+    times = np.concatenate([bag.imu_time, bag.dvl_time, bag.depth_time])
+    types = np.concatenate(
+        [
+            np.full(len(bag.imu_time), EVENT_IMU, np.int32),
+            np.full(len(bag.dvl_time), EVENT_DVL, np.int32),
+            np.full(len(bag.depth_time), EVENT_DEPTH, np.int32),
+        ]
+    )
+    z = np.concatenate(
+        [
+            bag.imu_rpy,
+            bag.dvl_vel,
+            np.stack([bag.depth, np.zeros_like(bag.depth),
+                      np.zeros_like(bag.depth)], -1),
+        ]
+    ).astype(np.float32)
+    order = np.argsort(times, kind="stable")
+    times, types, z = times[order], types[order], z[order]
+    _, poses = kalman_scan(jnp.asarray(types), jnp.asarray(z, jnp.float32),
+                           kalman_config)
+    imu_sel = types == EVENT_IMU
+    return times[imu_sel], poses[jnp.asarray(np.nonzero(imu_sel)[0])]
 
 
 def replay(
@@ -53,21 +95,56 @@ def replay(
     params: SlamParams,
     dims: SlamDims,
     dr_config: DRConfig = DRConfig(roll_offset=0.0),
+    frontend: str = "dr",  # "dr" | "dr_gyro" | "kalman"
+    gyro_config: GyroConfig | None = None,
+    kalman_config: KalmanConfig | None = None,
 ) -> ReplayResult:
-    # 1) dead reckoning over synchronized ticks
-    streams = SensorStreams(
-        imu_time=bag.imu_time,
-        imu_rpy=bag.imu_rpy,
-        dvl_time=bag.dvl_time,
-        dvl_vel=bag.dvl_vel,
-        depth_time=bag.depth_time,
-        depth=bag.depth,
-    )
-    bundle = build_dr_ticks(streams)
-    _, dr_poses3 = dead_reckoning_scan(bundle.ticks, dr_config)
+    # 1) odometry front end
+    if frontend == "kalman":
+        if kalman_config is None:
+            from .io.config import load_kalman_config
+
+            kalman_config = load_kalman_config()._replace(imu_offset=0.0)
+            # the yaml's dt_imu / A_imu assume the real 200 Hz VN100; adapt
+            # to this bag's actual IMU rate (position integrates v * dt_imu
+            # per IMU event, kalman.py:202-204)
+            dt = float(np.median(np.diff(bag.imu_time)))
+            A = np.asarray(kalman_config.A_imu)
+            A = A.copy()
+            A[0, 6] = A[1, 7] = A[3, 9] = A[4, 10] = dt
+            kalman_config = kalman_config._replace(
+                dt_imu=dt, A_imu=jnp.asarray(A)
+            )
+        tick_time, dr_poses3 = _kalman_odometry(bag, kalman_config)
+    else:
+        gyro_yaw = None
+        gyro_time = None
+        if frontend == "dr_gyro":
+            if gyro_config is None:
+                gyro_config = GyroConfig(
+                    offset_matrix=jnp.eye(3, dtype=jnp.float32),
+                    latitude=0.0, sensor_rate=50.0, roll0=0.0,
+                )
+            ypr = gyro_integrate(jnp.asarray(bag.gyro_delta), gyro_config)
+            gyro_yaw = np.asarray(ypr[:, 0])
+            gyro_time = bag.gyro_time
+            dr_config = dr_config._replace(use_gyro=True)
+        streams = SensorStreams(
+            imu_time=bag.imu_time,
+            imu_rpy=bag.imu_rpy,
+            dvl_time=bag.dvl_time,
+            dvl_vel=bag.dvl_vel,
+            depth_time=bag.depth_time,
+            depth=bag.depth,
+            gyro_time=gyro_time,
+            gyro_yaw=gyro_yaw,
+        )
+        bundle = build_dr_ticks(streams)
+        _, dr_poses3 = dead_reckoning_scan(bundle.ticks, dr_config)
+        tick_time = bundle.tick_time
 
     # 2) pair pings with odometry (approximate-time sync, slop 0.5 s)
-    tick_idx, sync_ok = match_pings_to_ticks(bag.ping_time, bundle.tick_time)
+    tick_idx, sync_ok = match_pings_to_ticks(bag.ping_time, tick_time)
     ping_dr3 = dr_poses3[tick_idx]
     ping_dr2 = pose3_to_pose2(ping_dr3)
 
@@ -110,6 +187,20 @@ def replay(
     carry, outputs = slam_scan(frames, params, dims)
 
     nk = int(carry.num_kf)
+
+    # 6) full-rate pose: compose each ping's DR delta onto its latest
+    # keyframe's optimized pose — the reference's realtime publish_pose
+    # (`slam_ros.py:182-185,228-257`) reproduced in one batched op
+    kf_of_ping = np.clip(
+        np.searchsorted(kf_idx, np.arange(len(bag.ping_time)), side="right") - 1,
+        0, max(nk - 1, 0),
+    )
+    base = jnp.asarray(kf_of_ping)
+    dense = se2_compose(
+        carry.poses[base],
+        se2_between(carry.dr_poses[base], ping_dr2),
+    )
+
     return ReplayResult(
         trajectory=np.asarray(carry.poses[:nk]),
         covs=np.asarray(carry.covs[:nk]),
@@ -120,6 +211,7 @@ def replay(
         outputs=outputs,
         carry=carry,
         dr_poses_at_ticks=np.asarray(dr_poses3),
+        dense_trajectory=np.asarray(dense),
     )
 
 
