@@ -16,6 +16,7 @@ from .occupancy import (
     occupancy_grid_method1,
     occupancy_grid_method2,
     intensity_grid,
+    submap_intensity,
     grow,
     resample_grid,
     get_occupancy_map,

@@ -424,6 +424,16 @@ def occupancy_grid_method2(
     return out
 
 
+def submap_intensity(img: jax.Array, model: SubmapModel) -> jax.Array:
+    """Downsample a polar ping image to the submap grid, flattened to (S,) —
+    the per-keyframe intensity payload for :func:`intensity_grid`
+    (`mapping.py:241-243`: ``r2n(ping)[::r_skip, ::c_skip]``)."""
+    R, C = model.shape
+    return img[:: model.r_skip, :: model.c_skip][:R, :C].reshape(-1).astype(
+        jnp.float32
+    )
+
+
 def intensity_grid(
     state: MappingState,
     model: SubmapModel,

@@ -71,12 +71,26 @@ def match_count_costs(
     """
     sample_source_pose = jax.vmap(lambda d: se2_compose(source_pose, d))(deltas)
     transforms = jax.vmap(lambda p: se2_between(target_pose, p))(sample_source_pose)
-    moved = jax.vmap(lambda t: se2_transform_points(source_points, t))(transforms)
-    S, N, _ = moved.shape
-    d2 = pairwise_sq_dists(moved.reshape(S * N, 2), target_points)
-    d2 = jnp.where(target_mask[None, :], d2, 1e30)
-    near = (jnp.min(d2, axis=-1) <= point_noise**2).reshape(S, N)
-    counts = jnp.sum(near & source_mask[None, :], axis=-1)
+    S = transforms.shape[0]
+    N = source_points.shape[0]
+
+    # chunk the sample axis: the full (S*N, M) distance matrix can reach
+    # gigabytes at NSSM sizes; 16-sample chunks keep the working set in tens
+    # of MB while every chunk is still one large MXU matmul
+    chunk = 16
+    pad = (-S) % chunk
+    tf_pad = jnp.concatenate([transforms, jnp.zeros((pad, 3), transforms.dtype)])
+
+    def chunk_counts(tf_chunk):
+        moved = jax.vmap(lambda t: se2_transform_points(source_points, t))(tf_chunk)
+        d2 = pairwise_sq_dists(moved.reshape(chunk * N, 2), target_points)
+        d2 = jnp.where(target_mask[None, :], d2, 1e30)
+        near = (jnp.min(d2, axis=-1) <= point_noise**2).reshape(chunk, N)
+        return jnp.sum(near & source_mask[None, :], axis=-1)
+
+    counts = jax.lax.map(
+        chunk_counts, tf_pad.reshape(-1, chunk, 3)
+    ).reshape(-1)[:S]
     return -counts.astype(jnp.float32), transforms
 
 

@@ -1,0 +1,73 @@
+"""Feature-extraction front end unit tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sonar_slam_tpu.slam import FeatureConfig, FeatureExtractor, SonarGeometry
+
+GEOM = SonarGeometry.make(num_ranges=256, num_bearings=128, max_range=30.0)
+rng = np.random.default_rng(44)
+
+
+def wall_ping(x_wall=15.0):
+    img = rng.exponential(scale=10.0, size=(256, 128)).astype(np.float32)
+    wall_r = x_wall / np.cos(GEOM.bearings)
+    rows = np.clip(np.round(wall_r / GEOM.range_resolution - 1).astype(int),
+                   0, 255)
+    for c, r in enumerate(rows):
+        if wall_r[c] < 29:
+            img[r, c] = 230.0
+    return np.clip(img, 0, 255)
+
+
+@pytest.mark.parametrize("alg", ["SOCA", "CA", "GOCA", "OS"])
+def test_extractor_finds_wall(alg):
+    ext = FeatureExtractor(FeatureConfig(alg=alg, max_points=256), GEOM)
+    pts, mask = ext.extract(jnp.asarray(wall_ping()))
+    pts = np.asarray(pts)[np.asarray(mask)]
+    assert len(pts) > 20, f"{alg}: {len(pts)} points"
+    # most points on the wall plane x ~ 15
+    frac_on_wall = (np.abs(pts[:, 0] - 15.0) < 1.0).mean()
+    assert frac_on_wall > 0.8, f"{alg}: {frac_on_wall}"
+
+
+def test_extractor_voxel_spacing():
+    cfg = FeatureConfig(resolution=0.5, max_points=256)
+    ext = FeatureExtractor(cfg, GEOM)
+    pts, mask = ext.extract(jnp.asarray(wall_ping()))
+    pts = np.asarray(pts)[np.asarray(mask)]
+    # no two kept points closer than ~half the voxel size
+    from scipy.spatial.distance import pdist
+
+    if len(pts) > 1:
+        assert pdist(pts).min() > 0.2
+
+
+def test_extractor_batch_matches_single():
+    ext = FeatureConfig(max_points=128)
+    ext = FeatureExtractor(FeatureConfig(max_points=128), GEOM)
+    imgs = np.stack([wall_ping(10.0), wall_ping(20.0)])
+    bp, bm = ext.extract_batch(jnp.asarray(imgs))
+    for i in range(2):
+        sp, sm = ext.extract(jnp.asarray(imgs[i]))
+        np.testing.assert_allclose(
+            np.asarray(bp[i]), np.asarray(sp), atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(bm[i]), np.asarray(sm))
+
+
+def test_empty_ping_yields_nothing():
+    ext = FeatureExtractor(
+        FeatureConfig(max_points=128, outlier_min_points=5), GEOM
+    )
+    flat = np.full((256, 128), 50.0, np.float32)  # constant image: no CFAR hits
+    pts, mask = ext.extract(jnp.asarray(flat))
+    assert int(jnp.sum(mask)) == 0
+
+
+def test_detections_mask_shape():
+    ext = FeatureExtractor(FeatureConfig(max_points=128), GEOM)
+    det = ext.detections(jnp.asarray(wall_ping()))
+    assert det.shape == (256, 128)
+    assert bool(det.any())

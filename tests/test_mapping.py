@@ -138,3 +138,42 @@ def test_grow(model):
     old = np.asarray(st.grid)[r, c]
     new = np.asarray(new_st.grid)[r + 20, c + 20]
     np.testing.assert_allclose(old, new)
+
+
+def test_intensity_grid(model):
+    from sonar_slam_tpu.mapping import intensity_grid, submap_intensity
+    st = mapping_init(CFG, model)
+    pts, m = wall_points()
+    st = add_keyframe(st, 0, jnp.zeros(3, jnp.float32), pts, m, model)
+    img = np.full((GEOM.num_ranges, GEOM.num_bearings), 128.0, np.float32)
+    inten = submap_intensity(jnp.asarray(img), model)
+    kf_int = jnp.zeros((CFG.max_keyframes, inten.shape[0]), jnp.float32)
+    kf_int = kf_int.at[0].set(inten)
+    grid = np.asarray(intensity_grid(st, model, kf_int))
+    r = int(round((0.0 - CFG.y0) / CFG.resolution))
+    c = int(round((10.0 - CFG.x0) / CFG.resolution))
+    # observed cells hold round(128/255*100) = 50; unobserved -1
+    assert grid[r, c] == 50
+    assert grid[2, 2] == -1
+
+
+def test_get_occupancy_map_service(model):
+    from sonar_slam_tpu.mapping import get_occupancy_map
+    st = mapping_init(CFG, model)
+    pts, m = wall_points()
+    st = add_keyframe(st, 0, jnp.zeros(3, jnp.float32), pts, m, model)
+    st = add_keyframe(st, 1, jnp.asarray([3.0, 0.0, 0.0], jnp.float32), pts, m, model)
+    # subset: only keyframe 0
+    frames = jnp.asarray([True] + [False] * (CFG.max_keyframes - 1))
+    occ, res = get_occupancy_map(st, model, frames=frames)
+    assert res == CFG.resolution
+    r = int(round((0.0 - CFG.y0) / CFG.resolution))
+    c0 = int(round((10.0 - CFG.x0) / CFG.resolution))
+    c1 = int(round((13.0 - CFG.x0) / CFG.resolution))
+    assert np.asarray(occ)[r, c0 - 1 : c0 + 2].max() > 50
+    # keyframe 1's wall (x=13) must NOT appear in the subset render
+    assert np.asarray(occ)[r, c1 - 1 : c1 + 2].max() <= 50
+    # coarser resolution resample
+    occ2, res2 = get_occupancy_map(st, model, resolution=1.0)
+    assert res2 == 1.0
+    assert occ2.shape[0] == CFG.rows // 2
