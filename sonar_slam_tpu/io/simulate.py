@@ -46,6 +46,10 @@ class SimConfig:
     imu_yaw_noise: float = 0.002
     wall_point_spacing: float = 0.25
     seed: int = 0
+    # dual-sonar: render a vertical (M1200d-style) fan imaging the seafloor
+    vertical_sonar: bool = False
+    seafloor_depth: float = 6.0  # meters below the vehicle plane
+    vertical_aperture_deg: float = 24.0
 
 
 class SyntheticBag(NamedTuple):
@@ -64,6 +68,9 @@ class SyntheticBag(NamedTuple):
     true_pose_at_ping: np.ndarray  # (Ts, 3) (x, y, yaw)
     geometry: SonarGeometry
     world_points: np.ndarray  # (W, 2) structure scatterers
+    # optional dual-sonar payload
+    vertical_images: np.ndarray | None = None  # (Ts, R, Cv)
+    vertical_geometry: "SonarGeometry | None" = None
 
 
 def _make_world(cfg: SimConfig, rng) -> np.ndarray:
@@ -148,6 +155,31 @@ def render_ping(
     return np.clip(img, 0, 255).astype(np.float32)
 
 
+def _render_vertical(pose, geom, floor_z, rng, cfg):
+    """Vertical-fan frame: each elevation beam hits the seafloor at range
+    z_floor / sin(phi) (downward beams only), plus speckle noise."""
+    img = rng.exponential(scale=cfg.noise_floor,
+                          size=(geom.num_ranges, geom.num_bearings))
+    # sample the floor along the beam footprint ahead of the vehicle
+    for c, phi in enumerate(geom.bearings):
+        if phi <= 0.02:  # up/level beams see nothing
+            continue
+        # iterate a couple of times: range depends on floor height at the
+        # horizontal footprint distance
+        r = cfg.seafloor_depth / np.sin(phi)
+        for _ in range(2):
+            dx = r * np.cos(phi)
+            fx = pose[0] + dx * np.cos(pose[2])
+            fy = pose[1] + dx * np.sin(pose[2])
+            z = floor_z(fx, fy)
+            r = z / np.sin(phi)
+        if 0.5 < r < geom.max_range * 0.98:
+            row = int(round(r / geom.range_resolution - 1))
+            img[max(row - 1, 0) : row + 2, c] = cfg.target_intensity
+    img[1:] = np.maximum(img[1:], 0.6 * img[:-1])
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
 def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
     rng = np.random.default_rng(cfg.seed)
     world = _make_world(cfg, rng)
@@ -187,6 +219,28 @@ def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
 
     xy_png, yaw_png, _ = _trajectory(cfg, png_t)
     true_poses = np.concatenate([xy_png, yaw_png[:, None]], -1)
+
+    vert_imgs = None
+    vert_geom = None
+    if cfg.vertical_sonar:
+        vert_geom = SonarGeometry.make(
+            num_ranges=cfg.num_ranges,
+            num_bearings=max(cfg.num_bearings // 2, 32),
+            max_range=cfg.max_range,
+            horizontal_aperture=float(np.radians(cfg.vertical_aperture_deg)),
+            model="M1200d",
+            mode=2,
+        )
+        # seafloor profile: gentle height variation over (x, y)
+        def floor_z(x, y):
+            return cfg.seafloor_depth + 0.8 * np.sin(0.21 * x) + 0.5 * np.cos(0.17 * y)
+
+        vert_imgs = np.stack(
+            [
+                _render_vertical(p, vert_geom, floor_z, rng, cfg)
+                for p in true_poses
+            ]
+        )
     # express ground truth relative to the start pose (SLAM frame convention:
     # first keyframe anchored near origin with yaw zeroed, slam_ros/DR yaw0)
     imgs = np.stack(
@@ -207,6 +261,8 @@ def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
         gyro_delta=gyro_delta.astype(np.float32),
         ping_time=png_t.astype(np.float32),
         ping_images=imgs,
+        vertical_images=vert_imgs,
+        vertical_geometry=vert_geom,
         true_pose_at_ping=true_poses.astype(np.float32),
         geometry=geom,
         world_points=world,

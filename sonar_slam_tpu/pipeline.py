@@ -57,6 +57,8 @@ class ReplayResult(NamedTuple):
     carry: object  # final SlamCarry (for mapping / export / checkpoint)
     dr_poses_at_ticks: np.ndarray  # (T, 6) full-rate odometry
     dense_trajectory: np.ndarray  # (Ts, 3) SLAM pose at EVERY ping (see below)
+    points3d: np.ndarray | None = None  # (K', N, 3) dual-sonar fused clouds
+    points3d_mask: np.ndarray | None = None
 
 
 def _kalman_odometry(bag: SyntheticBag, kalman_config: KalmanConfig):
@@ -98,6 +100,7 @@ def replay(
     frontend: str = "dr",  # "dr" | "dr_gyro" | "kalman"
     gyro_config: GyroConfig | None = None,
     kalman_config: KalmanConfig | None = None,
+    use_vertical: bool = False,  # dual-sonar 3-D fusion (configs[3])
 ) -> ReplayResult:
     # 1) odometry front end
     if frontend == "kalman":
@@ -201,6 +204,26 @@ def replay(
         se2_between(carry.dr_poses[base], ping_dr2),
     )
 
+    points3d = points3d_mask = None
+    if use_vertical:
+        if bag.vertical_images is None:
+            raise ValueError("bag has no vertical sonar stream")
+        from .slam.dual_sonar import fuse_frames
+        from .kernels.cfar import cfar_soca2
+        from .kernels.cfar_factors import threshold_factor_soca
+
+        tau = threshold_factor_soca(feature_config.ntc, feature_config.pfa)
+        t_, g_ = feature_config.ntc // 2, feature_config.ngc // 2
+        vimgs = jnp.asarray(bag.vertical_images[sel])
+        vdet = jax.vmap(
+            lambda im: cfar_soca2(im, t_, g_, tau)[0]
+            & (im > feature_config.threshold)
+        )(vimgs)
+        p3, p3m = fuse_frames(
+            carry.points, carry.pmasks, vdet, bag.vertical_geometry
+        )
+        points3d, points3d_mask = np.asarray(p3), np.asarray(p3m)
+
     return ReplayResult(
         trajectory=np.asarray(carry.poses[:nk]),
         covs=np.asarray(carry.covs[:nk]),
@@ -212,6 +235,8 @@ def replay(
         carry=carry,
         dr_poses_at_ticks=np.asarray(dr_poses3),
         dense_trajectory=np.asarray(dense),
+        points3d=points3d,
+        points3d_mask=points3d_mask,
     )
 
 

@@ -97,3 +97,24 @@ def test_predict_slam_update(bag):
         start[:2] + np.array([np.cos(start[2]), np.sin(start[2])]),
         atol=0.2,
     )
+
+
+def test_dual_sonar_replay():
+    from sonar_slam_tpu.io.simulate import SimConfig, simulate_bag
+
+    # wide vertical aperture + shallow floor so downward beams reach the
+    # floor within sonar range (a +-12 deg fan at 6 m altitude only grazes it)
+    dual_bag = simulate_bag(
+        SimConfig(duration=50.0, speed=0.5, sonar_rate=1.0, num_ranges=128,
+                  num_bearings=64, loop_radius=10.0, imu_rate=20.0,
+                  vertical_sonar=True, seafloor_depth=4.0,
+                  vertical_aperture_deg=60.0)
+    )
+    res = replay(dual_bag, FeatureConfig(max_points=96), params(), DIMS,
+                 use_vertical=True)
+    assert res.points3d is not None
+    assert res.points3d.shape[2] == 3
+    # fused z values near the seafloor depth for points with vertical evidence
+    zs = res.points3d[..., 2][res.points3d_mask & (res.points3d[..., 2] != 0)]
+    assert len(zs) > 10
+    assert 2.0 < np.median(np.asarray(zs)) < 6.0
