@@ -89,8 +89,9 @@ def main() -> None:
                         imu_rate=50.0)
         dims = SlamDims(max_keyframes=128, max_points=256, target_capacity=1024,
                         nssm_cov_samples=30, ssm_sobol=64, nssm_sobol=512,
-                        max_loops=32, gn_iters=4,
-                        icp=ICPConfig(min_diff_rot=1e-3, min_diff_trans=1e-2))
+                        max_loops=32, gn_iters=3,
+                        icp=ICPConfig(max_iterations=24, min_diff_rot=1e-3,
+                                      min_diff_trans=1e-2))
         kf_translation = 3.0
 
     log(f"devices: {jax.devices()}")

@@ -34,7 +34,7 @@ from ..kernels.cfar_factors import (
     threshold_factor_os,
     threshold_factor_soca,
 )
-from ..cloud import VoxelGridSpec, voxel_downsample, remove_outlier
+from ..cloud import remove_outlier
 from .sonar import SonarGeometry
 
 
@@ -52,6 +52,62 @@ class FeatureConfig(NamedTuple):
     outlier_min_points: int = 5
     skip: int = 1
     max_points: int = 256  # output cloud capacity (TPU padding)
+
+
+class StaticVoxelBinner:
+    """Scatter-free voxel downsampling for the STATIC polar cell table.
+
+    The detector's input geometry never changes within a run, so the mapping
+    polar cell -> voxel is computed once on the host and voxelization becomes
+    a gather + masked sum over a precomputed (num_voxels, group) index table,
+    followed by one top_k. On TPU this compiles in seconds and runs at memory
+    bandwidth, whereas the generic scatter-add voxelizer costs ~100 s of
+    Mosaic compile and ~30 ms/frame at 512x256 (measured) — scatters with
+    data-dependent indices are the wrong tool when the binning is static.
+    """
+
+    def __init__(self, cells_xy: np.ndarray, resolution: float,
+                 x0: float, y0: float, nx: int, ny: int,
+                 max_group: int = 1024, cell_valid: np.ndarray | None = None):
+        n_cells = len(cells_xy)
+        ix = np.floor((cells_xy[:, 0] - x0) / resolution).astype(np.int64)
+        iy = np.floor((cells_xy[:, 1] - y0) / resolution).astype(np.int64)
+        inside = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+        if cell_valid is not None:
+            inside = inside & cell_valid
+        vid = np.where(inside, iy * nx + ix, -1)
+        used = np.unique(vid[vid >= 0])
+        remap = {v: i for i, v in enumerate(used)}
+        V = len(used)
+        groups: list[list[int]] = [[] for _ in range(V)]
+        for cell, v in enumerate(vid):
+            if v >= 0:
+                groups[remap[v]].append(cell)
+        G = min(max(len(g) for g in groups), max_group)
+        idx = np.full((V, G), n_cells, np.int32)  # sentinel -> padded False
+        for i, g in enumerate(groups):
+            take = g[:G]  # overflow cells dropped (closest-range voxels only)
+            idx[i, : len(take)] = take
+        self.dropped_cells = sum(max(0, len(g) - G) for g in groups)
+        self.group_idx = jnp.asarray(idx)
+        padded_xy = np.concatenate(
+            [cells_xy, np.zeros((1, 2), np.float32)]
+        )
+        self.group_xy = jnp.asarray(padded_xy[idx])  # (V, G, 2) static
+        self.num_voxels = V
+        self.num_cells = n_cells
+
+    def __call__(self, flat_mask: jax.Array, max_out: int):
+        """(num_cells,) bool detection mask -> (points [max_out,2], mask)."""
+        padded = jnp.concatenate([flat_mask, jnp.zeros((1,), bool)])
+        hits = padded[self.group_idx]  # (V, G)
+        w = hits.astype(jnp.float32)
+        counts = jnp.sum(w, axis=1)
+        sums = jnp.einsum("vg,vgc->vc", w, self.group_xy)
+        score, vi = jax.lax.top_k(counts, max_out)
+        out_mask = score > 0
+        centroids = sums[vi] / jnp.maximum(counts[vi], 1.0)[:, None]
+        return jnp.where(out_mask[:, None], centroids, 0.0), out_mask
 
 
 class FeatureExtractor:
@@ -89,17 +145,23 @@ class FeatureExtractor:
             raise ValueError(f"unknown CFAR alg {config.alg}")
         self.tau = tau
 
-        self._cells = jnp.asarray(geometry.cell_points().reshape(-1, 2))
+        cells_np = geometry.cell_points().reshape(-1, 2).astype(np.float32)
+        self._cells = jnp.asarray(cells_np)
         half_width = float(
             np.sin(geometry.horizontal_aperture / 2) * geometry.max_range
         )
         res = config.resolution
-        self._spec = VoxelGridSpec(
-            x0=0.0,
-            y0=-half_width,
-            resolution=res,
+        # rows inside the CFAR border can never detect — exclude them from
+        # the binner (shrinks the per-voxel group tables near min range)
+        hw = (config.ntc + config.ngc) // 2
+        row_ok = np.zeros(geometry.num_ranges, bool)
+        row_ok[hw : geometry.num_ranges - hw] = True
+        cell_ok = np.repeat(row_ok, geometry.num_bearings)
+        self._binner = StaticVoxelBinner(
+            cells_np, res, x0=0.0, y0=-half_width,
             nx=int(np.ceil(geometry.max_range / res)) + 1,
             ny=int(np.ceil(2 * half_width / res)) + 1,
+            cell_valid=cell_ok,
         )
 
         @jax.jit
@@ -108,9 +170,7 @@ class FeatureExtractor:
             peaks = self._detect(img)
             peaks = peaks & (img > self.config.threshold)
             flat = peaks.reshape(-1)
-            pts, mask = voxel_downsample(
-                self._cells, flat, self._spec, self.config.max_points
-            )
+            pts, mask = self._binner(flat, self.config.max_points)
             if self.config.outlier_min_points > 1:
                 mask = remove_outlier(
                     pts,
@@ -134,9 +194,7 @@ class FeatureExtractor:
             t, g = config.ntc // 2, config.ngc // 2
 
             def _postprocess(flat_peaks):
-                pts, mask = voxel_downsample(
-                    self._cells, flat_peaks, self._spec, config.max_points
-                )
+                pts, mask = self._binner(flat_peaks, config.max_points)
                 if config.outlier_min_points > 1:
                     mask = remove_outlier(
                         pts, mask, config.outlier_radius,
@@ -149,7 +207,23 @@ class FeatureExtractor:
                     imgs.astype(jnp.float32), t, g, self.tau, config.alg,
                     intensity_threshold=config.threshold,
                 )
-                return jax.vmap(_postprocess)(det.reshape(det.shape[0], -1))
+                flat = det.reshape(det.shape[0], -1)
+                # chunked vmap: full-width vmap of the big static gather
+                # costs minutes of Mosaic compile; serial lax.map costs
+                # ~50 ms/frame at runtime. 32-wide chunks get both right.
+                B = flat.shape[0]
+                chunk = min(32, B)
+                pad = (-B) % chunk
+                flat = jnp.pad(flat, ((0, pad), (0, 0)))
+                pts, mask = jax.lax.map(
+                    jax.vmap(_postprocess),
+                    flat.reshape(-1, chunk, flat.shape[-1]),
+                )
+                P = pts.shape[-2]
+                return (
+                    pts.reshape(-1, P, 2)[:B],
+                    mask.reshape(-1, P)[:B],
+                )
 
             # traceable (composes into larger jit programs) + jitted wrapper
             self.extract_batch_traced = _pallas_batch
