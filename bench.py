@@ -136,10 +136,16 @@ def main() -> None:
         )
         return kf_mask, ping_dr3
 
+    # features and the SLAM scan stay SEPARATE jit programs: fusing them into
+    # one jit triples XLA compile time for zero steady-state benefit (one
+    # extra dispatch round-trip)
     @jax.jit
-    def stage2(sel, valid, ping_dr3):
+    def stage2a(sel, valid):
         pts, masks = extractor.extract_batch_traced(ping_images[sel])
-        masks = masks & valid[:, None]
+        return pts, masks & valid[:, None]
+
+    @jax.jit
+    def stage2b(sel, valid, ping_dr3, pts, masks):
         frames = KeyframeInput(
             time=ping_time_dev[sel],
             dr_pose3=ping_dr3[sel],
@@ -157,9 +163,9 @@ def main() -> None:
         valid = np.zeros(K, bool)
         valid[: len(kf_idx)] = True
         sel = np.concatenate([kf_idx, np.zeros(K - len(kf_idx), np.int64)])
-        carry, outputs = stage2(
-            jnp.asarray(sel), jnp.asarray(valid), ping_dr3
-        )
+        sel_d, valid_d = jnp.asarray(sel), jnp.asarray(valid)
+        pts, masks = stage2a(sel_d, valid_d)
+        carry, outputs = stage2b(sel_d, valid_d, ping_dr3, pts, masks)
         jax.block_until_ready(carry.poses)
         return carry, kf_idx
 

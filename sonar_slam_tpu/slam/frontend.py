@@ -97,16 +97,32 @@ class StaticVoxelBinner:
         self.num_voxels = V
         self.num_cells = n_cells
 
-    def __call__(self, flat_mask: jax.Array, max_out: int):
-        """(num_cells,) bool detection mask -> (points [max_out,2], mask)."""
+    def __call__(self, flat_mask: jax.Array, max_out: int,
+                 flat_weights: jax.Array | None = None):
+        """(num_cells,) bool detection mask -> (points [max_out,2], mask).
+
+        With ``flat_weights`` (e.g. echo intensities), voxel representatives
+        are intensity-weighted centroids — sub-cell precision the reference's
+        rasterized pixel-center readback cannot provide (the voxel ranking
+        stays by hit count). Weighted or not, exactly one point per occupied
+        voxel is emitted.
+        """
         padded = jnp.concatenate([flat_mask, jnp.zeros((1,), bool)])
         hits = padded[self.group_idx]  # (V, G)
-        w = hits.astype(jnp.float32)
-        counts = jnp.sum(w, axis=1)
+        h = hits.astype(jnp.float32)
+        counts = jnp.sum(h, axis=1)
+        if flat_weights is None:
+            w = h
+            wsum = counts
+        else:
+            wp = jnp.concatenate([flat_weights.astype(jnp.float32),
+                                  jnp.zeros((1,), jnp.float32)])
+            w = h * wp[self.group_idx]
+            wsum = jnp.sum(w, axis=1)
         sums = jnp.einsum("vg,vgc->vc", w, self.group_xy)
         score, vi = jax.lax.top_k(counts, max_out)
         out_mask = score > 0
-        centroids = sums[vi] / jnp.maximum(counts[vi], 1.0)[:, None]
+        centroids = sums[vi] / jnp.maximum(wsum[vi], 1e-6)[:, None]
         return jnp.where(out_mask[:, None], centroids, 0.0), out_mask
 
 
@@ -170,7 +186,9 @@ class FeatureExtractor:
             peaks = self._detect(img)
             peaks = peaks & (img > self.config.threshold)
             flat = peaks.reshape(-1)
-            pts, mask = self._binner(flat, self.config.max_points)
+            pts, mask = self._binner(
+                flat, self.config.max_points, img.reshape(-1)
+            )
             if self.config.outlier_min_points > 1:
                 mask = remove_outlier(
                     pts,
@@ -193,8 +211,11 @@ class FeatureExtractor:
 
             t, g = config.ntc // 2, config.ngc // 2
 
-            def _postprocess(flat_peaks):
-                pts, mask = self._binner(flat_peaks, config.max_points)
+            def _postprocess(args_):
+                flat_peaks, flat_intensity = args_
+                pts, mask = self._binner(
+                    flat_peaks, config.max_points, flat_intensity
+                )
                 if config.outlier_min_points > 1:
                     mask = remove_outlier(
                         pts, mask, config.outlier_radius,
@@ -208,6 +229,7 @@ class FeatureExtractor:
                     intensity_threshold=config.threshold,
                 )
                 flat = det.reshape(det.shape[0], -1)
+                inten = imgs.astype(jnp.float32).reshape(det.shape[0], -1)
                 # chunked vmap: full-width vmap of the big static gather
                 # costs minutes of Mosaic compile; serial lax.map costs
                 # ~50 ms/frame at runtime. 32-wide chunks get both right.
@@ -215,9 +237,13 @@ class FeatureExtractor:
                 chunk = min(32, B)
                 pad = (-B) % chunk
                 flat = jnp.pad(flat, ((0, pad), (0, 0)))
+                inten = jnp.pad(inten, ((0, pad), (0, 0)))
                 pts, mask = jax.lax.map(
                     jax.vmap(_postprocess),
-                    flat.reshape(-1, chunk, flat.shape[-1]),
+                    (
+                        flat.reshape(-1, chunk, flat.shape[-1]),
+                        inten.reshape(-1, chunk, inten.shape[-1]),
+                    ),
                 )
                 P = pts.shape[-2]
                 return (
