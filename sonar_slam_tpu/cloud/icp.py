@@ -92,7 +92,16 @@ def icp(
     cfg = config
     smooth = cfg.smooth_length
 
-    def body(carry, _):
+    def cond(carry):
+        pose, done, ok, iters, rot_hist, trans_hist, inliers = carry
+        # while_loop early exit: once the differential checker fires (or the
+        # match starves), the remaining iterations are skipped entirely — a
+        # masked fixed-length scan would burn the full iteration budget.
+        # Under vmap this runs until every lane is done (still a large win:
+        # typical convergence is ~1/4 of the cap).
+        return (~done) & (iters < cfg.max_iterations)
+
+    def body(carry):
         pose, done, ok, iters, rot_hist, trans_hist, inliers = carry
         moved = se2_transform_points(source_points, pose)
         idx, d2 = nn_match(
@@ -123,7 +132,7 @@ def icp(
         iters = iters + advance.astype(jnp.int32)
         inliers = jnp.where(advance, n_match, inliers)
         done = done | conv | ~step_ok
-        return (pose, done, step_ok | done, iters, rot_hist, trans_hist, inliers), None
+        return (pose, done, step_ok | done, iters, rot_hist, trans_hist, inliers)
 
     big = jnp.full((smooth,), 1e6, source_points.dtype)
     init = (
@@ -135,8 +144,8 @@ def icp(
         big,
         jnp.asarray(0, jnp.int32),
     )
-    (pose, done, _, iters, rot_hist, trans_hist, inliers), _ = jax.lax.scan(
-        body, init, None, length=cfg.max_iterations
+    pose, done, _, iters, rot_hist, trans_hist, inliers = jax.lax.while_loop(
+        cond, body, init
     )
     # ok mirrors libpointmatcher "success": never starved of matches
     ok = inliers >= cfg.min_matched_points

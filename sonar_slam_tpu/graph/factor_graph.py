@@ -39,8 +39,9 @@ from ..geometry import (
 class GraphConfig(NamedTuple):
     max_poses: int = 256
     max_factors: int = 1024
-    gn_iters: int = 6  # relinearization sweeps per update
+    gn_iters: int = 6  # max relinearization sweeps per update
     damping: float = 1e-9  # tiny LM damping for numerical safety
+    convergence_tol: float = 1e-5  # early exit when max |delta| drops below
 
 
 class GraphState(NamedTuple):
@@ -224,7 +225,14 @@ def optimize(state: GraphState, config: GraphConfig) -> GraphState:
     """
     K = config.max_poses
 
-    def body(poses, _):
+    def cond(carry):
+        _, it, max_delta = carry
+        # warm-started updates converge in one sweep between loop closures —
+        # the while_loop skips the remaining relinearizations entirely
+        return (it < config.gn_iters) & (max_delta > config.convergence_tol)
+
+    def body(carry):
+        poses, it, _ = carry
         st = state._replace(poses=poses)
         H, b = _assemble_normal_equations(st, config)
         L = jnp.linalg.cholesky(H)
@@ -232,12 +240,16 @@ def optimize(state: GraphState, config: GraphConfig) -> GraphState:
         delta = delta.reshape(K, 3)
         valid = (jnp.arange(K) < state.num_poses)[:, None]
         new_poses = jnp.where(valid, jax.vmap(se2_retract)(poses, delta), poses)
-        return new_poses, None
+        max_delta = jnp.max(jnp.abs(jnp.where(valid, delta, 0.0)))
+        return new_poses, it + 1, max_delta
 
     # fp32 throughout: the factorization/solves lower to blocked matmuls and
     # the default bf16 MXU pass would wash out cm-level pose corrections
     with jax.default_matmul_precision("highest"):
-        poses, _ = jax.lax.scan(body, state.poses, None, length=config.gn_iters)
+        poses, _, _ = jax.lax.while_loop(
+            cond, body,
+            (state.poses, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf)),
+        )
     return state._replace(poses=poses)
 
 
