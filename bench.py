@@ -169,8 +169,18 @@ def main() -> None:
         jax.block_until_ready(carry.poses)
         return carry, kf_idx
 
+    # the remote compile service in this environment sporadically drops
+    # long-running compile requests — retry the first (compiling) run
     t0 = time.time()
-    carry, kf_idx = device_pipeline()
+    for attempt in range(3):
+        try:
+            carry, kf_idx = device_pipeline()
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError on transport loss
+            log(f"compile attempt {attempt + 1} failed: {e}")
+            if attempt == 2:
+                raise
+            time.sleep(10)
     compile_s = time.time() - t0
     log(f"first run (incl compile): {compile_s:.1f}s")
 
