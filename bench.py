@@ -136,21 +136,16 @@ def main() -> None:
         )
         return kf_mask, ping_dr3
 
-    # features and the SLAM scan stay SEPARATE jit programs: fusing them into
-    # one jit triples XLA compile time for zero steady-state benefit (one
-    # extra dispatch round-trip)
-    @jax.jit
-    def stage2a(sel, valid):
-        pts, masks = extractor.extract_batch_traced(ping_images[sel])
-        return pts, masks & valid[:, None]
-
+    # features (host-composed small jit units) and the SLAM scan stay
+    # SEPARATE programs: one fused jit takes the remote compile service past
+    # its request timeout, for zero steady-state benefit
     @jax.jit
     def stage2b(sel, valid, ping_dr3, pts, masks):
         frames = KeyframeInput(
             time=ping_time_dev[sel],
             dr_pose3=ping_dr3[sel],
             points=pts,
-            pmask=masks,
+            pmask=masks & valid[:, None],
             valid=valid,
         )
         return slam_scan(frames, params, dims)
@@ -164,7 +159,7 @@ def main() -> None:
         valid[: len(kf_idx)] = True
         sel = np.concatenate([kf_idx, np.zeros(K - len(kf_idx), np.int64)])
         sel_d, valid_d = jnp.asarray(sel), jnp.asarray(valid)
-        pts, masks = stage2a(sel_d, valid_d)
+        pts, masks = extractor.extract_batch(ping_images[sel_d])
         carry, outputs = stage2b(sel_d, valid_d, ping_dr3, pts, masks)
         jax.block_until_ready(carry.poses)
         return carry, kf_idx

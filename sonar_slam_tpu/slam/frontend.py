@@ -223,37 +223,46 @@ class FeatureExtractor:
                     )
                 return pts, mask
 
-            def _pallas_batch(imgs):
+            # SEPARATE small jit units composed with a host-level chunk loop:
+            # one fused jit of (pallas CFAR + 128-wide postprocess) takes the
+            # remote Mosaic compile service >30 min (it drops the request);
+            # each unit here compiles in minutes and is persistently cached,
+            # at the cost of a few extra dispatches per replay.
+            chunk = 32
+
+            @jax.jit
+            def _detect_batch(imgs):
                 det, _ = cfar_pallas_batch(
                     imgs.astype(jnp.float32), t, g, self.tau, config.alg,
                     intensity_threshold=config.threshold,
                 )
-                flat = det.reshape(det.shape[0], -1)
-                inten = imgs.astype(jnp.float32).reshape(det.shape[0], -1)
-                # chunked vmap: full-width vmap of the big static gather
-                # costs minutes of Mosaic compile; serial lax.map costs
-                # ~50 ms/frame at runtime. 32-wide chunks get both right.
-                B = flat.shape[0]
-                chunk = min(32, B)
-                pad = (-B) % chunk
-                flat = jnp.pad(flat, ((0, pad), (0, 0)))
-                inten = jnp.pad(inten, ((0, pad), (0, 0)))
-                pts, mask = jax.lax.map(
-                    jax.vmap(_postprocess),
-                    (
-                        flat.reshape(-1, chunk, flat.shape[-1]),
-                        inten.reshape(-1, chunk, inten.shape[-1]),
-                    ),
-                )
-                P = pts.shape[-2]
+                B = det.shape[0]
                 return (
-                    pts.reshape(-1, P, 2)[:B],
-                    mask.reshape(-1, P)[:B],
+                    det.reshape(B, -1),
+                    imgs.astype(jnp.float32).reshape(B, -1),
                 )
 
-            # traceable (composes into larger jit programs) + jitted wrapper
+            _chunk_post = jax.jit(jax.vmap(_postprocess))
+
+            def _pallas_batch(imgs):
+                flat, inten = _detect_batch(imgs)
+                B = flat.shape[0]
+                pad = (-B) % chunk
+                if pad:
+                    flat = jnp.pad(flat, ((0, pad), (0, 0)))
+                    inten = jnp.pad(inten, ((0, pad), (0, 0)))
+                outs = [
+                    _chunk_post((flat[i : i + chunk], inten[i : i + chunk]))
+                    for i in range(0, B + pad, chunk)
+                ]
+                pts = jnp.concatenate([o[0] for o in outs])[:B]
+                mask = jnp.concatenate([o[1] for o in outs])[:B]
+                return pts, mask
+
+            # host-composed: already made of jitted units (do NOT wrap in an
+            # enclosing jit — that recreates the monolithic compile)
             self.extract_batch_traced = _pallas_batch
-            self._pallas_batch = jax.jit(_pallas_batch)
+            self._pallas_batch = _pallas_batch
         else:
             self.extract_batch_traced = jax.vmap(_pipeline)
 
