@@ -42,8 +42,10 @@ class SimConfig:
     loop_radius: float = 18.0  # survey loop radius (closes on itself)
     noise_floor: float = 10.0  # exponential speckle scale
     target_intensity: float = 220.0
-    dvl_noise: float = 0.01
+    dvl_noise: float = 0.02
+    dvl_scale_bias: float = 0.01  # per-run multiplicative velocity bias (~1%)
     imu_yaw_noise: float = 0.002
+    imu_yaw_drift: float = 0.00005  # rad/s random-walk yaw bias (heading drift)
     wall_point_spacing: float = 0.25
     seed: int = 0
     # dual-sonar: render a vertical (M1200d-style) fan imaging the seafloor
@@ -74,7 +76,13 @@ class SyntheticBag(NamedTuple):
 
 
 def _make_world(cfg: SimConfig, rng) -> np.ndarray:
-    """Rectangular basin walls + interior pillars, densified to points."""
+    """Textured basin walls + pillars + rock scatter, densified to points.
+
+    Long featureless straight walls make scan matching translation-ambiguous
+    (ICP slides along the wall), which no SLAM system can fix — real sonar
+    environments have corrugation and debris. Walls here get sinusoidal
+    relief plus random rock clusters so registration is observable.
+    """
     L = cfg.loop_radius + cfg.max_range * 0.8
     segs = [
         ((-L, -L), (L, -L)),
@@ -89,9 +97,25 @@ def _make_world(cfg: SimConfig, rng) -> np.ndarray:
         segs.extend([(tuple(pts[i]), tuple(pts[i + 1])) for i in range(len(pts) - 1)])
     out = []
     for (x0, y0), (x1, y1) in segs:
-        n = max(2, int(np.hypot(x1 - x0, y1 - y0) / cfg.wall_point_spacing))
+        seg_len = np.hypot(x1 - x0, y1 - y0)
+        n = max(2, int(seg_len / cfg.wall_point_spacing))
         t = np.linspace(0, 1, n)
-        out.append(np.stack([x0 + t * (x1 - x0), y0 + t * (y1 - y0)], -1))
+        base = np.stack([x0 + t * (x1 - x0), y0 + t * (y1 - y0)], -1)
+        # sinusoidal relief along the wall normal (multi-scale corrugation)
+        tang = np.array([x1 - x0, y1 - y0]) / max(seg_len, 1e-9)
+        normal = np.array([-tang[1], tang[0]])
+        arc = t * seg_len
+        relief = (0.35 * np.sin(2 * np.pi * arc / 7.3)
+                  + 0.18 * np.sin(2 * np.pi * arc / 2.9 + 1.0))
+        out.append(base + relief[:, None] * normal[None, :])
+        # rock clusters every ~8 m in front of long walls
+        if seg_len > 20:
+            for a in np.arange(4.0, seg_len - 4.0, 8.0):
+                cx, cy = base[int(a / seg_len * (n - 1))] + normal * rng.uniform(1.0, 3.5)
+                rr = rng.uniform(0.3, 0.9)
+                k = max(6, int(2 * np.pi * rr / cfg.wall_point_spacing))
+                th = np.linspace(0, 2 * np.pi, k)
+                out.append(np.stack([cx + rr * np.cos(th), cy + rr * np.sin(th)], -1))
     pts = np.concatenate(out)
     jitter = rng.normal(scale=0.02, size=pts.shape)
     return (pts + jitter).astype(np.float32)
@@ -195,17 +219,25 @@ def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
     png_t = np.arange(0.5, cfg.duration, 1 / cfg.sonar_rate)
 
     _, yaw_imu, _ = _trajectory(cfg, imu_t)
+    yaw_bias = np.cumsum(
+        rng.normal(scale=cfg.imu_yaw_drift / np.sqrt(cfg.imu_rate),
+                   size=yaw_imu.shape)
+    )
     imu_rpy = np.stack(
         [
             np.zeros_like(yaw_imu),
             np.zeros_like(yaw_imu),
-            yaw_imu + rng.normal(scale=cfg.imu_yaw_noise, size=yaw_imu.shape),
+            yaw_imu + yaw_bias
+            + rng.normal(scale=cfg.imu_yaw_noise, size=yaw_imu.shape),
         ],
         -1,
     )
 
     _, _, vel_dvl = _trajectory(cfg, dvl_t)
-    vel_dvl = vel_dvl + rng.normal(scale=cfg.dvl_noise, size=vel_dvl.shape)
+    scale_bias = 1.0 + rng.normal(scale=cfg.dvl_scale_bias, size=(1, 3))
+    vel_dvl = vel_dvl * scale_bias + rng.normal(
+        scale=cfg.dvl_noise, size=vel_dvl.shape
+    )
 
     depth = np.full_like(dep_t, cfg.depth) + rng.normal(scale=0.01, size=dep_t.shape)
 

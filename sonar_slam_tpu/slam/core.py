@@ -150,6 +150,7 @@ class SlamParams(NamedTuple):
     nssm_max_rotation: jax.Array
     min_pcm: jax.Array
     pcm_queue_size: jax.Array
+    robust_ssm: jax.Array  # bool: Cauchy-robustify scan-match factors
     ssm_sobol_pts: jax.Array  # (S1, 3) unit Sobol samples
     nssm_sobol_pts: jax.Array  # (S2, 3)
 
@@ -176,6 +177,7 @@ class SlamParams(NamedTuple):
             nssm_max_rotation=f(np.radians(60)),
             min_pcm=jnp.asarray(2, jnp.int32),
             pcm_queue_size=jnp.asarray(5, jnp.int32),
+            robust_ssm=jnp.asarray(False),
             ssm_sobol_pts=jnp.asarray(sobol_unit_samples(dims.ssm_sobol)),
             nssm_sobol_pts=jnp.asarray(sobol_unit_samples(dims.nssm_sobol)),
         )
@@ -439,8 +441,14 @@ def keyframe_step(
         sigmas_to_sqrt_info(params.icp_odom_sigmas)
     )
     sq = jnp.where(ssm_ok, sq_ssm, sigmas_to_sqrt_info(params.odom_sigmas))
+    # optional Cauchy robustification of scan-match factors: bounds the
+    # influence of the occasional wall-sliding ICP outlier (the reference
+    # ships the robust models, slam.py:1177-1208, but leaves SSM factors
+    # Gaussian — robust_ssm=False reproduces that; True is our default
+    # benchmark configuration)
     graph = add_between(
-        graph, prev, key, z_factor, sq, robust=False,
+        graph, prev, key, z_factor, sq,
+        robust=params.robust_ssm & ssm_ok,
         enabled=(~is_first) & frame.valid,
     )
     value_pose = jnp.where(
