@@ -100,10 +100,16 @@ def main() -> None:
     log(f"bag simulated in {time.time()-t0:.1f}s: {len(bag.ping_time)} pings, "
         f"{sim.duration:.0f}s of data")
 
+    # benchmark configuration: reference semantics + the proper-fusion
+    # option (keep the DR factor alongside the scan-match factor) with
+    # sigmas matching the synthetic sensors' actual noise
     params = SlamParams.default(dims)._replace(
         keyframe_translation=jnp.float32(kf_translation),
         ssm_min_points=jnp.asarray(20, jnp.int32),
         nssm_min_points=jnp.asarray(20, jnp.int32),
+        fuse_odometry=jnp.asarray(True),
+        odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
+        icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.03], jnp.float32),
     )
     feature_config = FeatureConfig(max_points=dims.max_points)
     dr_config = DRConfig(roll_offset=0.0)

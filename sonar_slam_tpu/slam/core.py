@@ -115,7 +115,8 @@ class SlamDims:
     def graph_config(self) -> GraphConfig:
         return GraphConfig(
             max_poses=self.max_keyframes,
-            max_factors=self.max_keyframes + self.max_loops + 4,
+            # room for SSM + fused odometry per keyframe, plus loops
+            max_factors=2 * self.max_keyframes + self.max_loops + 4,
             gn_iters=self.gn_iters,
         )
 
@@ -151,6 +152,7 @@ class SlamParams(NamedTuple):
     min_pcm: jax.Array
     pcm_queue_size: jax.Array
     robust_ssm: jax.Array  # bool: Cauchy-robustify scan-match factors
+    fuse_odometry: jax.Array  # bool: keep the DR factor alongside SSM
     ssm_sobol_pts: jax.Array  # (S1, 3) unit Sobol samples
     nssm_sobol_pts: jax.Array  # (S2, 3)
 
@@ -178,6 +180,7 @@ class SlamParams(NamedTuple):
             min_pcm=jnp.asarray(2, jnp.int32),
             pcm_queue_size=jnp.asarray(5, jnp.int32),
             robust_ssm=jnp.asarray(False),
+            fuse_odometry=jnp.asarray(False),
             ssm_sobol_pts=jnp.asarray(sobol_unit_samples(dims.ssm_sobol)),
             nssm_sobol_pts=jnp.asarray(sobol_unit_samples(dims.nssm_sobol)),
         )
@@ -450,6 +453,17 @@ def keyframe_step(
         graph, prev, key, z_factor, sq,
         robust=params.robust_ssm & ssm_ok,
         enabled=(~is_first) & frame.valid,
+    )
+    # proper-fusion option (divergence from the reference, default off): the
+    # reference DISCARDS dead-reckoning odometry whenever scan matching
+    # succeeds (slam.py:804-833) — the inter-loop chain is then ICP-only,
+    # which caps accuracy at ICP's per-step noise even when the DVL/IMU
+    # odometry is better. With fuse_odometry both factors coexist and GN
+    # weighs them by their sigmas.
+    graph = add_between(
+        graph, prev, key, dr_odom, sigmas_to_sqrt_info(params.odom_sigmas),
+        robust=False,
+        enabled=params.fuse_odometry & ssm_ok & (~is_first) & frame.valid,
     )
     value_pose = jnp.where(
         ssm_ok, se2_compose(target_pose, est_tf), init_pose
