@@ -27,10 +27,14 @@ DIMS = SlamDims(
 
 
 def params():
+    # the benchmark configuration: odometry fusion + honest sensor sigmas
     return SlamParams.default(DIMS)._replace(
         keyframe_translation=jnp.float32(2.0),
         ssm_min_points=jnp.asarray(15, jnp.int32),
         nssm_min_points=jnp.asarray(15, jnp.int32),
+        fuse_odometry=jnp.asarray(True),
+        odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
+        icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.03], jnp.float32),
     )
 
 
