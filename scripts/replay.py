@@ -69,6 +69,8 @@ def main() -> None:
     ap.add_argument("--feature-config", default=None)
     ap.add_argument("--max-keyframes", type=int, default=128)
     ap.add_argument("--no-map", action="store_true")
+    ap.add_argument("--intensity", action="store_true",
+                    help="also export the average-intensity map")
     ap.add_argument("--plot", action="store_true")
     args = ap.parse_args()
 
@@ -129,22 +131,37 @@ def main() -> None:
     )
 
     if not args.no_map:
+        import jax.numpy as _jnp
+
         from sonar_slam_tpu.mapping import (
             MappingConfig, SubmapModel, add_keyframe, mapping_init,
-            occupancy_grid_method1,
+            occupancy_grid_method1, intensity_grid, submap_intensity,
         )
 
         mcfg = MappingConfig(max_keyframes=dims.max_keyframes)
         model = SubmapModel(mcfg, bag.geometry)
         mst = mapping_init(mcfg, model)
+        kf_int = np.zeros(
+            (mcfg.max_keyframes, model.sonar_xy.shape[0]), np.float32
+        )
         with CodeTimer("mapping"):
             for k in range(res.num_keyframes):
                 mst = add_keyframe(
                     mst, k, res.trajectory[k],
                     res.carry.points[k], res.carry.pmasks[k], model,
                 )
+                if args.intensity:
+                    ping = bag.ping_images[res.keyframe_ping_idx[k]]
+                    kf_int[k] = np.asarray(
+                        submap_intensity(_jnp.asarray(ping), model)
+                    )
             occ = np.asarray(occupancy_grid_method1(mst, model))
-        np.savez_compressed(os.path.join(args.out, "occupancy.npz"), occ=occ)
+        arts = {"occ": occ}
+        if args.intensity:
+            arts["intensity"] = np.asarray(
+                intensity_grid(mst, model, _jnp.asarray(kf_int))
+            )
+        np.savez_compressed(os.path.join(args.out, "occupancy.npz"), **arts)
 
     if args.plot:
         import matplotlib
