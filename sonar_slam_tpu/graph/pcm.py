@@ -18,7 +18,6 @@ search.
 from __future__ import annotations
 
 import functools
-import itertools
 
 import numpy as np
 import jax

@@ -17,7 +17,7 @@ PCM -> mapping) can be exercised hermetically, with ground truth:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple
 
 import numpy as np

@@ -20,7 +20,6 @@ of pings is a single batched TPU call.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import numpy as np

@@ -18,10 +18,8 @@ state so an exploration planner has the same query surface:
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..graph.factor_graph import (
-    GraphConfig,
     add_between,
     optimize_with_marginal,
     set_pose_estimate,
