@@ -32,7 +32,7 @@ from .estimators import (
     gyro_integrate,
     kalman_scan,
 )
-from .estimators.kalman import EVENT_DEPTH, EVENT_DVL, EVENT_IMU
+from .estimators.kalman import EVENT_DEPTH, EVENT_DVL, EVENT_GYRO, EVENT_IMU
 from .geometry import pose3_to_pose2, se2_between, se2_compose
 from .io.dataset import SensorStreams, build_dr_ticks, match_pings_to_ticks
 from .io.simulate import SyntheticBag
@@ -67,22 +67,29 @@ def _kalman_odometry(bag: SyntheticBag, kalman_config: KalmanConfig):
     Returns (times (T,), poses3 (T, 6)) for the IMU-event subsequence (the
     reference publishes odometry on IMU ticks, `kalman.py:217`).
     """
-    times = np.concatenate([bag.imu_time, bag.dvl_time, bag.depth_time])
-    types = np.concatenate(
-        [
-            np.full(len(bag.imu_time), EVENT_IMU, np.int32),
-            np.full(len(bag.dvl_time), EVENT_DVL, np.int32),
-            np.full(len(bag.depth_time), EVENT_DEPTH, np.int32),
-        ]
-    )
-    z = np.concatenate(
-        [
-            bag.imu_rpy,
-            bag.dvl_vel,
-            np.stack([bag.depth, np.zeros_like(bag.depth),
-                      np.zeros_like(bag.depth)], -1),
-        ]
-    ).astype(np.float32)
+    times = [bag.imu_time, bag.dvl_time, bag.depth_time]
+    types = [
+        np.full(len(bag.imu_time), EVENT_IMU, np.int32),
+        np.full(len(bag.dvl_time), EVENT_DVL, np.int32),
+        np.full(len(bag.depth_time), EVENT_DEPTH, np.int32),
+    ]
+    zs = [
+        bag.imu_rpy,
+        bag.dvl_vel,
+        np.stack([bag.depth, np.zeros_like(bag.depth),
+                  np.zeros_like(bag.depth)], -1),
+    ]
+    if kalman_config.use_gyro and bag.gyro_time is not None:
+        # FOG delta-yaw corrections (kalman.py:138-149); the simulator's
+        # gyro frame is already sonar-aligned (identity offset matrix)
+        times.append(bag.gyro_time)
+        types.append(np.full(len(bag.gyro_time), EVENT_GYRO, np.int32))
+        zg = np.zeros((len(bag.gyro_time), 3), np.float32)
+        zg[:, 0] = bag.gyro_delta[:, 0]
+        zs.append(zg)
+    times = np.concatenate(times)
+    types = np.concatenate(types)
+    z = np.concatenate(zs).astype(np.float32)
     order = np.argsort(times, kind="stable")
     times, types, z = times[order], types[order], z[order]
     _, poses = kalman_scan(jnp.asarray(types), jnp.asarray(z, jnp.float32),

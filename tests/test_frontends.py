@@ -122,3 +122,19 @@ def test_dual_sonar_replay():
     zs = res.points3d[..., 2][res.points3d_mask & (res.points3d[..., 2] != 0)]
     assert len(zs) > 10
     assert 2.0 < np.median(np.asarray(zs)) < 6.0
+
+
+def test_kalman_gyro_frontend(bag):
+    from sonar_slam_tpu.io.config import load_kalman_config
+
+    kc = load_kalman_config()._replace(imu_offset=0.0, use_gyro=True)
+    import numpy as _np
+    dt = float(_np.median(_np.diff(bag.imu_time)))
+    A = _np.array(kc.A_imu)
+    A[0, 6] = A[1, 7] = A[3, 9] = A[4, 10] = dt
+    kc = kc._replace(dt_imu=dt, A_imu=jnp.asarray(A))
+    res = replay(bag, FeatureConfig(max_points=96), params(), DIMS,
+                 frontend="kalman", kalman_config=kc)
+    assert res.num_keyframes >= 3
+    truth = bag.true_pose_at_ping[res.keyframe_ping_idx]
+    assert ate_rmse(res.trajectory, truth) < 3.0
