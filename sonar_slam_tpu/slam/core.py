@@ -393,7 +393,6 @@ def keyframe_step(
         ssm_cov, _ = apply_covariance_floor(ssm_cov, params.icp_odom_sigmas)
         est_tf = mu
         icp_ok = enough
-        have_cov = True
     else:
         sres = icp(
             frame.points, frame.pmask, tgt_pts, tgt_mask, guesses[0], dims.icp
@@ -401,7 +400,6 @@ def keyframe_step(
         est_tf = sres.pose
         icp_ok = sres.ok
         ssm_cov = jnp.diag(params.icp_odom_sigmas**2)
-        have_cov = False
 
     # gates (slam.py:781-802)
     delta = se2_between(guesses[0], est_tf)
@@ -447,8 +445,7 @@ def keyframe_step(
     # optional Cauchy robustification of scan-match factors: bounds the
     # influence of the occasional wall-sliding ICP outlier (the reference
     # ships the robust models, slam.py:1177-1208, but leaves SSM factors
-    # Gaussian — robust_ssm=False reproduces that; True is our default
-    # benchmark configuration)
+    # Gaussian; robust_ssm=False reproduces that)
     graph = add_between(
         graph, prev, key, z_factor, sq,
         robust=params.robust_ssm & ssm_ok,

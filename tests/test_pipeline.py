@@ -92,3 +92,15 @@ def test_covariances_positive_definite(result):
     covs = result.covs
     eig = np.linalg.eigvalsh(covs)
     assert (eig > -1e-6).all()
+
+
+def test_skip_frames_gate_keyframes(small_bag):
+    """feature.yaml skip: non-skip pings publish NaN placeholders in the
+    reference and can never become keyframes (slam_ros.py:173-174) — here
+    they are excluded by the candidate mask."""
+    dims = SMALL_DIMS
+    res = replay(
+        small_bag, FeatureConfig(max_points=128, skip=2), small_params(dims), dims
+    )
+    assert res.num_keyframes >= 5
+    assert (res.keyframe_ping_idx % 2 == 0).all()
