@@ -58,9 +58,52 @@ def _cfar_kernel(img_ref, det_ref, thr_ref, *, train_hs, guard_hs, tau,
     thr_ref[0] = jnp.where(valid, thr, 0.0)
 
 
+def _cfar_os_kernel(img_ref, det_ref, thr_ref, *, train_hs, guard_hs, k, tau,
+                    intensity_threshold, rows):
+    """OS-CFAR: per-pixel k-th smallest (0-indexed) of the training window.
+
+    Instead of materializing and sorting the (R, 128, 2*train_hs) window
+    tensor, the rank statistic is found by an 8-step binary search over the
+    [0, 256) intensity range: each step counts training cells <= mid with
+    2*train_hs sublane rolls. Exact when the image holds integer values
+    (decoded uint8 sonar intensities); otherwise accurate to one intensity
+    level. Pure VPU work, one image read.
+    """
+    x = img_ref[0]
+    n_rows = x.shape[0]
+
+    def window_count_leq(v):
+        cnt = jnp.zeros_like(x)
+        for j in range(guard_hs + 1, guard_hs + train_hs + 1):
+            cnt = cnt + (pltpu.roll(x, j, axis=0) <= v).astype(jnp.float32)
+            cnt = cnt + (pltpu.roll(x, n_rows - j, axis=0) <= v).astype(
+                jnp.float32
+            )
+        return cnt
+
+    lo = jnp.full_like(x, -1.0)
+    hi = jnp.full_like(x, 255.0)
+    for _ in range(8):
+        mid = jnp.floor(0.5 * (lo + hi))
+        ge = window_count_leq(mid) >= (k + 1)
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid)
+    kth = hi
+    thr = tau * kth
+
+    hw = train_hs + guard_hs
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    valid = (row_ids >= hw) & (row_ids < rows - hw)
+    det = (x > thr) & valid
+    if intensity_threshold is not None:
+        det = det & (x > intensity_threshold)
+    det_ref[0] = det.astype(jnp.uint8)
+    thr_ref[0] = jnp.where(valid, thr, 0.0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("train_hs", "guard_hs", "tau", "mode",
-                              "intensity_threshold"),
+                              "intensity_threshold", "rank"),
 )
 def cfar_pallas_batch(
     imgs: jax.Array,  # (B, R, C) float32 polar frames
@@ -69,11 +112,14 @@ def cfar_pallas_batch(
     tau: float,
     mode: str = "SOCA",
     intensity_threshold: float | None = None,
+    rank: int = 0,
 ):
     """Batched fused CFAR: returns (detections (B,R,C) bool, thresholds f32).
 
     ``intensity_threshold`` fuses the reference's ``peaks &= img > threshold``
-    gate (`feature_extraction.py:223-224`) into the kernel.
+    gate (`feature_extraction.py:223-224`) into the kernel. ``mode`` "OS"
+    uses ``rank`` (0-indexed k, cfar.cpp:91-92 semantics) and assumes
+    integer-valued intensities (see _cfar_os_kernel).
     """
     B, R, C = imgs.shape
     r_pad = (8 - R % 8) % 8
@@ -81,15 +127,26 @@ def cfar_pallas_batch(
     x = jnp.pad(imgs.astype(jnp.float32), ((0, 0), (0, r_pad), (0, c_pad)))
     Rp, Cp = R + r_pad, C + c_pad
 
-    kernel = functools.partial(
-        _cfar_kernel,
-        train_hs=train_hs,
-        guard_hs=guard_hs,
-        tau=tau,
-        mode=mode,
-        intensity_threshold=intensity_threshold,
-        rows=R,
-    )
+    if mode == "OS":
+        kernel = functools.partial(
+            _cfar_os_kernel,
+            train_hs=train_hs,
+            guard_hs=guard_hs,
+            k=rank,
+            tau=tau,
+            intensity_threshold=intensity_threshold,
+            rows=R,
+        )
+    else:
+        kernel = functools.partial(
+            _cfar_kernel,
+            train_hs=train_hs,
+            guard_hs=guard_hs,
+            tau=tau,
+            mode=mode,
+            intensity_threshold=intensity_threshold,
+            rows=R,
+        )
     det, thr = pl.pallas_call(
         kernel,
         grid=(B, Cp // _LANE),

@@ -200,9 +200,11 @@ class FeatureExtractor:
         self._pipeline = _pipeline
         self._pipeline_batch = jax.jit(jax.vmap(_pipeline))
 
+        # OS is pallas-eligible too: sonar intensities are decoded uint8
+        # values, where the kernel's intensity-level binary search is exact
         self._pallas_ok = (
             use_pallas != "never"
-            and config.alg in ("CA", "SOCA", "GOCA")
+            and config.alg in ("CA", "SOCA", "GOCA", "OS")
             and jax.default_backend() not in ("cpu",)
         )
         if self._pallas_ok:
@@ -233,7 +235,7 @@ class FeatureExtractor:
             def _detect_batch(imgs):
                 det, _ = cfar_pallas_batch(
                     imgs.astype(jnp.float32), t, g, self.tau, config.alg,
-                    intensity_threshold=config.threshold,
+                    intensity_threshold=config.threshold, rank=config.rank,
                 )
                 B = det.shape[0]
                 return (

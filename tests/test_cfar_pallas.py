@@ -10,7 +10,7 @@ from sonar_slam_tpu.kernels import cfar_ca2, cfar_soca2, cfar_goca2
 rng = np.random.default_rng(33)
 
 
-def run_pallas(imgs, t, g, tau, mode, thresh=None):
+def run_pallas(imgs, t, g, tau, mode, thresh=None, rank=7):
     # interpret mode so the kernel runs under the CPU test platform
     from unittest import mock
     from jax.experimental import pallas as pl
@@ -25,7 +25,7 @@ def run_pallas(imgs, t, g, tau, mode, thresh=None):
         from sonar_slam_tpu.kernels.cfar_pallas import cfar_pallas_batch
 
         return cfar_pallas_batch(
-            imgs, t, g, tau, mode, intensity_threshold=thresh
+            imgs, t, g, tau, mode, intensity_threshold=thresh, rank=rank
         )
 
 
@@ -54,3 +54,20 @@ def test_pallas_fused_intensity_gate():
     det_raw, _ = run_pallas(jnp.asarray(imgs), t, g, tau, "SOCA")
     ref = np.asarray(det_raw[0]) & (imgs[0] > 65.0)
     np.testing.assert_array_equal(np.asarray(det_gated[0]), ref)
+
+
+def test_pallas_os_matches_xla_on_integer_images():
+    from sonar_slam_tpu.kernels import cfar_os2
+
+    t, g, k, tau = 10, 2, 7, 2.5
+    # integer-valued intensities (decoded uint8), where OS binary search is exact
+    imgs = np.floor(rng.exponential(scale=20.0, size=(2, 96, 40))).clip(0, 255)
+    imgs = imgs.astype(np.float32)
+    imgs[0, 40, 7] += 200
+    det, thr = run_pallas(jnp.asarray(imgs), t, g, tau, "OS")
+    for b in range(2):
+        det_ref, thr_ref = cfar_os2(jnp.asarray(imgs[b]), t, g, k, tau)
+        np.testing.assert_array_equal(np.asarray(det[b]), np.asarray(det_ref))
+        np.testing.assert_allclose(
+            np.asarray(thr[b]), np.asarray(thr_ref), rtol=1e-5, atol=1e-3
+        )
