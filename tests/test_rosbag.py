@@ -182,3 +182,56 @@ string frame_id
     np.testing.assert_allclose(streams.dvl_vel[0], [0.4, 0, 0], atol=1e-6)
     np.testing.assert_allclose(streams.depth[0], 2.5)
     assert len(pings) == 1 and pings[0]["ping_id"] == 0
+
+
+def test_unchunked_records(tmp_path):
+    """Bags can store records at top level (no chunk wrapper)."""
+    from sonar_slam_tpu.io.rosbag import (
+        MAGIC, OP_BAG_HEADER, _encode_record, _encode_header,
+    )
+    import struct as _s
+
+    path = str(tmp_path / "unchunked.bag")
+    conn_header = {b"op": bytes([0x07]), b"conn": _s.pack("<I", 0),
+                   b"topic": b"/a"}
+    conn_payload = _encode_header({
+        b"topic": b"/a", b"type": b"rti_dvl/DVL", b"md5sum": b"0" * 32,
+        b"message_definition": DVL_DEF.encode(),
+    })
+    msg_header = {b"op": bytes([0x02]), b"conn": _s.pack("<I", 0),
+                  b"time": _s.pack("<II", 3, 0)}
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(_encode_record({b"op": bytes([OP_BAG_HEADER])}, b""))
+        f.write(_encode_record(conn_header, conn_payload))
+        f.write(_encode_record(msg_header, ser_dvl(0, 3.0, 0.1, 0.2, 0.0, 1.0)))
+    out = list(read_bag(path))
+    assert len(out) == 1
+    assert out[0][2]["velocity"]["y"] == 0.2
+
+
+def test_bz2_chunk(tmp_path):
+    """bz2-compressed chunks decode."""
+    import bz2 as _bz2
+    import struct as _s
+    from sonar_slam_tpu.io.rosbag import MAGIC, _encode_record, _encode_header
+
+    chunk = _encode_record(
+        {b"op": bytes([0x07]), b"conn": _s.pack("<I", 0), b"topic": b"/a"},
+        _encode_header({b"topic": b"/a", b"type": b"rti_dvl/DVL",
+                        b"md5sum": b"0" * 32,
+                        b"message_definition": DVL_DEF.encode()}),
+    ) + _encode_record(
+        {b"op": bytes([0x02]), b"conn": _s.pack("<I", 0),
+         b"time": _s.pack("<II", 9, 0)},
+        ser_dvl(0, 9.0, 0.5, 0.0, 0.0, 2.0),
+    )
+    comp = _bz2.compress(chunk)
+    path = str(tmp_path / "bz2.bag")
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(_encode_record(
+            {b"op": bytes([0x05]), b"compression": b"bz2",
+             b"size": _s.pack("<I", len(chunk))}, comp))
+    out = list(read_bag(path))
+    assert len(out) == 1 and out[0][2]["velocity"]["x"] == 0.5
