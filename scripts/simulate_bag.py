@@ -27,6 +27,8 @@ def main() -> None:
         SimConfig(duration=args.duration, speed=args.speed,
                   sonar_rate=args.sonar_rate, seed=args.seed)
     )
+    out_dir = os.path.dirname(os.path.abspath(args.out))
+    os.makedirs(out_dir, exist_ok=True)
     np.savez_compressed(
         args.out,
         imu_time=bag.imu_time, imu_rpy=bag.imu_rpy,
