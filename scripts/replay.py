@@ -42,6 +42,9 @@ def load_npz_bag(path: str, start: float, duration: float):
     imu_t, imu_rpy = crop("imu_time", d["imu_rpy"])
     dvl_t, dvl_vel = crop("dvl_time", d["dvl_vel"])
     dep_t, depth = crop("depth_time", d["depth"])
+    gyr_t = gyr_d = None
+    if "gyro_time" in d and len(d["gyro_time"]):
+        gyr_t, gyr_d = crop("gyro_time", d["gyro_delta"])
     png_t, imgs, truth = crop("ping_time", d["ping_images"], d["true_pose_at_ping"])
     geom = SonarGeometry(
         num_ranges=int(d["num_ranges"]),
@@ -54,6 +57,7 @@ def load_npz_bag(path: str, start: float, duration: float):
         depth_time=dep_t, depth=depth, ping_time=png_t, ping_images=imgs,
         true_pose_at_ping=truth, geometry=geom,
         world_points=d.get("world_points", np.zeros((0, 2), np.float32)),
+        gyro_time=gyr_t, gyro_delta=gyr_d,
     )
 
 

@@ -34,6 +34,7 @@ def main() -> None:
         imu_time=bag.imu_time, imu_rpy=bag.imu_rpy,
         dvl_time=bag.dvl_time, dvl_vel=bag.dvl_vel,
         depth_time=bag.depth_time, depth=bag.depth,
+        gyro_time=bag.gyro_time, gyro_delta=bag.gyro_delta,
         ping_time=bag.ping_time, ping_images=bag.ping_images,
         true_pose_at_ping=bag.true_pose_at_ping,
         world_points=bag.world_points,

@@ -62,8 +62,6 @@ class SyntheticBag(NamedTuple):
     dvl_vel: np.ndarray  # (Td, 3) body-frame
     depth_time: np.ndarray  # (Tp,)
     depth: np.ndarray  # (Tp,)
-    gyro_time: np.ndarray  # (Tg,) FOG samples
-    gyro_delta: np.ndarray  # (Tg, 3) delta angles (yaw, pitch, roll channels)
     ping_time: np.ndarray  # (Ts,)
     ping_images: np.ndarray  # (Ts, R, C) float32
     # ground truth
@@ -73,6 +71,9 @@ class SyntheticBag(NamedTuple):
     # optional dual-sonar payload
     vertical_images: np.ndarray | None = None  # (Ts, R, Cv)
     vertical_geometry: "SonarGeometry | None" = None
+    # optional FOG stream
+    gyro_time: np.ndarray | None = None  # (Tg,)
+    gyro_delta: np.ndarray | None = None  # (Tg, 3) delta angles (y, p, r)
 
 
 def _make_world(cfg: SimConfig, rng) -> np.ndarray:
