@@ -29,6 +29,9 @@ import struct
 from dataclasses import dataclass, field
 from typing import Any, Iterator
 
+from .lz4 import compress_frame as lz4_compress
+from .lz4 import decompress_frame as lz4_decompress
+
 import numpy as np
 
 MAGIC = b"#ROSBAG V2.0\n"
@@ -260,10 +263,11 @@ def read_bag(path: str, topics=None) -> Iterator[tuple[str, float, dict]]:
             compression = header.get(b"compression", b"none")
             if compression == b"bz2":
                 payload = bz2.decompress(payload)
+            elif compression == b"lz4":
+                payload = lz4_decompress(payload)
             elif compression not in (b"none",):
                 raise NotImplementedError(
-                    f"chunk compression {compression!r} unsupported (use "
-                    "`rosbag decompress` first)"
+                    f"chunk compression {compression!r} unsupported"
                 )
             yield from handle_records(payload)
         elif op in (OP_CONNECTION, OP_MSG):
@@ -291,8 +295,9 @@ def _encode_record(header: dict[bytes, bytes], payload: bytes) -> bytes:
     return struct.pack("<I", len(h)) + h + struct.pack("<I", len(payload)) + payload
 
 
-def write_bag(path: str, connections: list[dict], messages: list[tuple]):
-    """Write an uncompressed single-chunk bag.
+def write_bag(path: str, connections: list[dict], messages: list[tuple],
+              compression: str = "none"):
+    """Write a single-chunk bag (``compression``: none | bz2 | lz4).
 
     connections: [{"id", "topic", "type", "definition"}]
     messages: [(conn_id, t_seconds, raw_payload_bytes)]
@@ -336,10 +341,17 @@ def write_bag(path: str, connections: list[dict], messages: list[tuple]):
         pad = 4096 - len(rec)
         bag_header[b"padding"] = b" " * max(pad - 12, 0)
         f.write(_encode_record(bag_header, b""))
+        raw_size = len(chunk)
+        if compression == "bz2":
+            chunk = bz2.compress(chunk)
+        elif compression == "lz4":
+            chunk = lz4_compress(chunk)
+        elif compression != "none":
+            raise ValueError(f"unknown compression {compression!r}")
         chunk_header = {
             b"op": bytes([OP_CHUNK]),
-            b"compression": b"none",
-            b"size": struct.pack("<I", len(chunk)),
+            b"compression": compression.encode(),
+            b"size": struct.pack("<I", raw_size),
         }
         f.write(_encode_record(chunk_header, chunk))
 

@@ -1,0 +1,103 @@
+"""Pure-Python LZ4 codec + lz4-chunked rosbag round trip.
+
+Covers the gap flagged in round 1: real BlueROV bags are commonly recorded
+with `rosbag record --lz4` and the reference reads them transparently via
+roslz4 (`/root/reference/bruce_slam/src/bruce_slam/utils/io.py:130-154`).
+"""
+
+import numpy as np
+import pytest
+
+from sonar_slam_tpu.io.lz4 import (
+    compress_block,
+    compress_frame,
+    decompress_block,
+    decompress_frame,
+    xxh32,
+)
+
+
+def test_xxh32_reference_vectors():
+    # spec test vector: xxh32 of the empty string with seed 0
+    assert xxh32(b"") == 0x02CC5D05
+    # structural checks: deterministic, seed- and content-sensitive
+    assert xxh32(b"abc") == xxh32(b"abc")
+    assert xxh32(b"abc") != xxh32(b"abd")
+    assert xxh32(b"abc", seed=1) != xxh32(b"abc", seed=0)
+
+
+@pytest.mark.parametrize("case", [
+    b"",
+    b"a",
+    b"hello world",
+    b"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",  # overlapping matches
+    b"abcabcabcabcabcabcabcabcabcabcabcabc" * 10,  # period-3 overlap
+    bytes(range(256)) * 5,
+    b"\x00" * 100000,  # long runs, multi-byte length extensions
+])
+def test_block_roundtrip(case):
+    assert decompress_block(compress_block(case)) == case
+
+
+def test_block_roundtrip_random():
+    rng = np.random.default_rng(0)
+    # incompressible random data and structured repetitive data
+    for n in (1, 13, 100, 5000, 70000):
+        raw = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert decompress_block(compress_block(raw)) == raw
+        rep = rng.integers(0, 4, n, dtype=np.uint8).tobytes()
+        assert decompress_block(compress_block(rep)) == rep
+
+
+def test_frame_roundtrip_multiblock():
+    rng = np.random.default_rng(1)
+    # > 64 KB forces multiple frame blocks; mixed compressible/random
+    raw = (b"sonar" * 20000
+           + rng.integers(0, 256, 70000, dtype=np.uint8).tobytes())
+    frame = compress_frame(raw)
+    assert decompress_frame(frame) == raw
+    # compressible data actually compressed
+    assert len(frame) < len(raw)
+
+
+def test_frame_content_checksum_detects_corruption():
+    raw = b"payload" * 1000
+    frame = bytearray(compress_frame(raw))
+    # flip one byte inside the (compressed) block region, keep structure:
+    # a bit flip in the stored block must surface as SOME error rather than
+    # silently returning wrong bytes
+    with pytest.raises(Exception):
+        bad = bytearray(frame)
+        bad[20] ^= 0xFF
+        out = decompress_frame(bytes(bad))
+        if out != raw:  # decodable but wrong -> checksum must have raised
+            raise AssertionError("corruption not detected")
+
+
+def test_lz4_bag_roundtrip(tmp_path):
+    from sonar_slam_tpu.io.rosbag import read_bag, write_bag
+    from tests.test_rosbag import DVL_DEF, ser_dvl
+
+    path = str(tmp_path / "lz4.bag")
+    conns = [{"id": 0, "topic": "/rti/body_velocity/raw",
+              "type": "rti_dvl/DVL", "definition": DVL_DEF}]
+    msgs = [(0, 10.0 + 0.2 * i, ser_dvl(i, 10.0 + 0.2 * i, 0.3, 0.01, 0.0, 5.0))
+            for i in range(50)]
+    write_bag(path, conns, msgs, compression="lz4")
+    out = list(read_bag(path))
+    assert len(out) == 50
+    assert out[0][2]["velocity"]["x"] == np.float32(0.3)
+    np.testing.assert_allclose(out[-1][1], 10.0 + 0.2 * 49, atol=1e-6)
+
+
+def test_bz2_bag_writer_roundtrip(tmp_path):
+    from sonar_slam_tpu.io.rosbag import read_bag, write_bag
+    from tests.test_rosbag import DVL_DEF, ser_dvl
+
+    path = str(tmp_path / "bz2w.bag")
+    conns = [{"id": 0, "topic": "/rti/body_velocity/raw",
+              "type": "rti_dvl/DVL", "definition": DVL_DEF}]
+    msgs = [(0, 5.0, ser_dvl(0, 5.0, 0.1, 0.0, 0.0, 3.0))]
+    write_bag(path, conns, msgs, compression="bz2")
+    out = list(read_bag(path))
+    assert len(out) == 1 and out[0][2]["altitude"] == np.float32(3.0)
