@@ -48,6 +48,15 @@ class SimConfig:
     imu_yaw_drift: float = 0.00005  # rad/s random-walk yaw bias (heading drift)
     wall_point_spacing: float = 0.25
     seed: int = 0
+    # pulse/beam rendering: each return is splatted as a separable Gaussian
+    # envelope across range bins (transmit pulse length) and bearing columns
+    # (beam pattern), centered at the CONTINUOUS (range, bearing) of the
+    # scatterer. Real sonar returns span several cells; rounding to cell
+    # centers (the round-1 renderer) destroys sub-bin information that the
+    # frontend's peak interpolation recovers on real data. Set
+    # pulse_sigma_bins=0 for the legacy nearest-cell renderer.
+    pulse_sigma_bins: float = 0.7  # range envelope sigma, in range bins
+    beam_sigma_bins: float = 0.6  # beam pattern sigma, in bearing columns
     # dual-sonar: render a vertical (M1200d-style) fan imaging the seafloor
     vertical_sonar: bool = False
     seafloor_depth: float = 6.0  # meters below the vehicle plane
@@ -146,8 +155,21 @@ def render_ping(
     rng,
     noise_floor: float,
     target_intensity: float,
+    pulse_sigma_bins: float = 0.7,
+    beam_sigma_bins: float = 0.6,
 ) -> np.ndarray:
-    """Render one polar frame: exponential speckle + scatterer returns."""
+    """Render one polar frame: exponential speckle + scatterer returns.
+
+    Each return is a separable Gaussian splat centered at the scatterer's
+    CONTINUOUS (fractional) range row / bearing column — the transmit-pulse
+    envelope along range and the beam pattern across bearings. This is the
+    physically faithful model (real Oculus pings spread returns over several
+    cells); the round-1 renderer rounded to the nearest cell, which baked a
+    ±half-bin uniform quantization error into the data itself
+    (range bin = max_range/num_ranges, bearing bin ~0.5 deg -> ~9 cm
+    cross-range at 10 m) that no frontend could recover.
+    With ``pulse_sigma_bins == 0`` the legacy nearest-cell path is used.
+    """
     img = rng.exponential(scale=noise_floor, size=(geom.num_ranges, geom.num_bearings))
     c, s = np.cos(pose[2]), np.sin(pose[2])
     rel = world - pose[:2]
@@ -161,22 +183,28 @@ def render_ping(
         & (brg > geom.bearings[0])
         & (brg < geom.bearings[-1])
     )
-    rr = np.clip(
-        np.round(rng_m[vis] / geom.range_resolution - 1).astype(int),
-        0,
-        geom.num_ranges - 1,
-    )
-    cc = np.clip(
-        np.round(
-            np.interp(brg[vis], geom.bearings, np.arange(geom.num_bearings))
-        ).astype(int),
-        0,
-        geom.num_bearings - 1,
-    )
+    # continuous (row, col) image coordinates of each return
+    fr = rng_m[vis] / geom.range_resolution - 1
+    fc = np.interp(brg[vis], geom.bearings, np.arange(geom.num_bearings))
     intensity = target_intensity * (1.0 - 0.5 * rng_m[vis] / geom.max_range)
-    np.maximum.at(img, (rr, cc), intensity)
-    # slight range blur (pulse length) — one cell bleed
-    img[1:] = np.maximum(img[1:], 0.6 * img[:-1])
+    if pulse_sigma_bins <= 0:
+        rr = np.clip(np.round(fr).astype(int), 0, geom.num_ranges - 1)
+        cc = np.clip(np.round(fc).astype(int), 0, geom.num_bearings - 1)
+        np.maximum.at(img, (rr, cc), intensity)
+        img[1:] = np.maximum(img[1:], 0.6 * img[:-1])
+        return np.clip(img, 0, 255).astype(np.float32)
+    # separable Gaussian splat over a (2*hr+1) x (2*hc+1) stencil
+    hr = max(1, int(np.ceil(2.5 * pulse_sigma_bins)))
+    hc = max(1, int(np.ceil(2.5 * beam_sigma_bins)))
+    r0 = np.round(fr).astype(int)
+    c0 = np.round(fc).astype(int)
+    for dr in range(-hr, hr + 1):
+        wr = np.exp(-0.5 * ((r0 + dr - fr) / pulse_sigma_bins) ** 2)
+        rr = np.clip(r0 + dr, 0, geom.num_ranges - 1)
+        for dc in range(-hc, hc + 1):
+            wc = np.exp(-0.5 * ((c0 + dc - fc) / beam_sigma_bins) ** 2)
+            cc = np.clip(c0 + dc, 0, geom.num_bearings - 1)
+            np.maximum.at(img, (rr, cc), intensity * wr * wc)
     return np.clip(img, 0, 255).astype(np.float32)
 
 
@@ -278,7 +306,9 @@ def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
     # first keyframe anchored near origin with yaw zeroed, slam_ros/DR yaw0)
     imgs = np.stack(
         [
-            render_ping(p, world, geom, rng, cfg.noise_floor, cfg.target_intensity)
+            render_ping(p, world, geom, rng, cfg.noise_floor,
+                        cfg.target_intensity, cfg.pulse_sigma_bins,
+                        cfg.beam_sigma_bins)
             for p in true_poses
         ]
     )

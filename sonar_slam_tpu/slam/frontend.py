@@ -51,6 +51,13 @@ class FeatureConfig(NamedTuple):
     outlier_min_points: int = 5
     skip: int = 1
     max_points: int = 256  # output cloud capacity (TPU padding)
+    # sub-bin peak refinement: log-parabolic interpolation of the intensity
+    # peak along range (pulse envelope) and bearing (beam pattern) recovers
+    # the continuous scatterer position to a fraction of a cell. The
+    # reference reads back rasterized pixel centers (feature_extraction.py:
+    # 231-238) and cannot do this; on real Oculus data the return envelope
+    # spans several cells, so the information is there.
+    subbin: bool = True
 
 
 class StaticVoxelBinner:
@@ -97,14 +104,18 @@ class StaticVoxelBinner:
         self.num_cells = n_cells
 
     def __call__(self, flat_mask: jax.Array, max_out: int,
-                 flat_weights: jax.Array | None = None):
+                 flat_weights: jax.Array | None = None,
+                 flat_xy: jax.Array | None = None):
         """(num_cells,) bool detection mask -> (points [max_out,2], mask).
 
         With ``flat_weights`` (e.g. echo intensities), voxel representatives
         are intensity-weighted centroids — sub-cell precision the reference's
         rasterized pixel-center readback cannot provide (the voxel ranking
-        stays by hit count). Weighted or not, exactly one point per occupied
-        voxel is emitted.
+        stays by hit count). ``flat_xy`` optionally overrides the static cell
+        positions with refined (e.g. sub-bin-interpolated) per-cell points;
+        voxel ASSIGNMENT always uses the static positions (offsets are a
+        fraction of a cell, far below the voxel size). Weighted or not,
+        exactly one point per occupied voxel is emitted.
         """
         padded = jnp.concatenate([flat_mask, jnp.zeros((1,), bool)])
         hits = padded[self.group_idx]  # (V, G)
@@ -118,7 +129,14 @@ class StaticVoxelBinner:
                                   jnp.zeros((1,), jnp.float32)])
             w = h * wp[self.group_idx]
             wsum = jnp.sum(w, axis=1)
-        sums = jnp.einsum("vg,vgc->vc", w, self.group_xy)
+        if flat_xy is None:
+            group_xy = self.group_xy
+        else:
+            xyp = jnp.concatenate(
+                [flat_xy.astype(jnp.float32), jnp.zeros((1, 2), jnp.float32)]
+            )
+            group_xy = xyp[self.group_idx]
+        sums = jnp.einsum("vg,vgc->vc", w, group_xy)
         score, vi = jax.lax.top_k(counts, max_out)
         out_mask = score > 0
         centroids = sums[vi] / jnp.maximum(wsum[vi], 1e-6)[:, None]
@@ -162,6 +180,19 @@ class FeatureExtractor:
 
         cells_np = geometry.cell_points().reshape(-1, 2).astype(np.float32)
         self._cells = jnp.asarray(cells_np)
+        # sub-bin refinement tables: the metric displacement of each cell's
+        # point per +1 ROW (radial, pulse axis) and per +1 COLUMN (tangential,
+        # beam axis). A fractional peak offset (dr, dc) in cell units then
+        # maps to cell_xy + dr*step_r + dc*step_c.
+        Rn, Cn = geometry.num_ranges, geometry.num_bearings
+        b = np.asarray(geometry.bearings, np.float64)
+        db = np.gradient(b)
+        ur = np.stack([np.cos(b), np.sin(b)], -1)  # radial unit
+        ut = np.stack([-np.sin(b), np.cos(b)], -1)  # tangential unit
+        step_r = np.broadcast_to(ur[None], (Rn, Cn, 2)) * geometry.range_resolution
+        step_c = (geometry.ranges[:, None, None] * db[None, :, None]) * ut[None]
+        self._step_r = jnp.asarray(step_r.reshape(-1, 2).astype(np.float32))
+        self._step_c = jnp.asarray(step_c.reshape(-1, 2).astype(np.float32))
         half_width = float(
             np.sin(geometry.horizontal_aperture / 2) * geometry.max_range
         )
@@ -179,6 +210,39 @@ class FeatureExtractor:
             cell_valid=cell_ok,
         )
 
+        def _subbin_xy(img: jax.Array) -> jax.Array:
+            """Refined per-cell positions via log-parabolic peak interpolation.
+
+            A Gaussian pulse/beam envelope is exactly parabolic in log
+            intensity, so the 3-point parabola vertex recovers the continuous
+            peak position. Non-peak cells (non-negative curvature) keep their
+            static position; offsets are clipped to half a cell.
+            """
+            L = jnp.log(jnp.maximum(img, 1.0))
+
+            def peak_delta(axis: int) -> jax.Array:
+                lm = jnp.roll(L, 1, axis=axis)
+                lp = jnp.roll(L, -1, axis=axis)
+                # edge rows/cols: duplicate the edge (zero offset falls out)
+                if axis == 0:
+                    lm = lm.at[0].set(L[0])
+                    lp = lp.at[-1].set(L[-1])
+                else:
+                    lm = lm.at[:, 0].set(L[:, 0])
+                    lp = lp.at[:, -1].set(L[:, -1])
+                num = lm - lp
+                den = lm + lp - 2.0 * L
+                d = jnp.where(den < -1e-6, num / (2.0 * den), 0.0)
+                return jnp.clip(d, -0.5, 0.5).reshape(-1, 1)
+
+            return (
+                self._cells
+                + peak_delta(0) * self._step_r
+                + peak_delta(1) * self._step_c
+            )
+
+        self._subbin_xy = _subbin_xy
+
         @jax.jit
         def _pipeline(img: jax.Array):
             img = img.astype(jnp.float32)
@@ -186,7 +250,8 @@ class FeatureExtractor:
             peaks = peaks & (img > self.config.threshold)
             flat = peaks.reshape(-1)
             pts, mask = self._binner(
-                flat, self.config.max_points, img.reshape(-1)
+                flat, self.config.max_points, img.reshape(-1),
+                _subbin_xy(img) if self.config.subbin else None,
             )
             if self.config.outlier_min_points > 1:
                 mask = remove_outlier(
@@ -212,10 +277,14 @@ class FeatureExtractor:
 
             t, g = config.ntc // 2, config.ngc // 2
 
+            Rn, Cn = geometry.num_ranges, geometry.num_bearings
+
             def _postprocess(args_):
                 flat_peaks, flat_intensity = args_
                 pts, mask = self._binner(
-                    flat_peaks, config.max_points, flat_intensity
+                    flat_peaks, config.max_points, flat_intensity,
+                    _subbin_xy(flat_intensity.reshape(Rn, Cn))
+                    if config.subbin else None,
                 )
                 if config.outlier_min_points > 1:
                     mask = remove_outlier(

@@ -2,11 +2,12 @@
 keep producing (nearly) the same trajectory — the TPU analog of the
 reference's repeated-run overlay checking (SURVEY.md §4.2), made exact.
 
-Regenerate the golden after *deliberate* behavior changes:
-    python - <<'PY'
-    # (see git log for the generation snippet)
-    PY
-and explain the change in the commit message.
+Regeneration protocol (ONLY after a deliberate behavior change):
+    python scripts/regen_golden.py
+and explain the change in the commit message. The tolerance below is set
+from the measured cross-run determinism (bit-identical on a fixed platform;
+commit 65c0ca4) plus a small allowance for compiler fusion drift — far below
+the ~5 cm per-keyframe accuracy budget, so real regressions cannot hide.
 """
 
 import os
@@ -34,11 +35,16 @@ def test_golden_trajectory():
         max_loops=16, gn_iters=3,
         icp=ICPConfig(min_diff_rot=1e-3, min_diff_trans=1e-2),
     )
+    # benchmark configuration (matches bench.py --small and
+    # scripts/regen_golden.py)
     p = SlamParams.default(dims)._replace(
         keyframe_translation=jnp.float32(2.0),
         keyframe_duration=jnp.float32(1.0),
         ssm_min_points=jnp.asarray(20, jnp.int32),
         nssm_min_points=jnp.asarray(20, jnp.int32),
+        fuse_odometry=jnp.asarray(True),
+        odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
+        icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.03], jnp.float32),
     )
     res = replay(bag, FeatureConfig(max_points=128), p, dims)
     gold = np.load(GOLDEN)
@@ -46,9 +52,10 @@ def test_golden_trajectory():
         res.keyframe_ping_idx, gold["keyframe_ping_idx"]
     )
     assert res.trajectory.shape == gold["trajectory"].shape
-    # loose tolerance: compiler/fusion changes may move fp rounding slightly,
-    # but the trajectory must stay the same solution
+    # tight tolerance (VERDICT r1 #10): cross-run spread on one platform is
+    # bit-zero; 5e-4 m absorbs only compiler-level fp reassociation. Anything
+    # larger is a behavior change -> regenerate deliberately (docstring).
     np.testing.assert_allclose(
-        res.trajectory, gold["trajectory"], atol=0.05
+        res.trajectory, gold["trajectory"], atol=5e-4
     ), "trajectory drifted from golden — intended? regenerate + explain"
-    assert abs(int(res.carry.num_loops) - int(gold["num_loops"])) <= 1
+    assert int(res.carry.num_loops) == int(gold["num_loops"])
