@@ -30,7 +30,16 @@ from .knn import nn_match
 
 
 class ICPConfig(NamedTuple):
-    """Static ICP pipeline parameters (defaults = reference icp.yaml)."""
+    """Static ICP pipeline parameters (defaults = reference icp.yaml).
+
+    ``point_to_line=True`` swaps the PointToPoint minimizer for a
+    point-to-line one (normals from cloud/normals.py). On wall-dominated
+    sonar clouds, point-to-point slides tangentially when the two clouds
+    sample the wall at different spots; the round-2 error budget measured
+    this at several cm per loop closure. libpointmatcher offers the same
+    upgrade (PointToPlaneErrorMinimizer); the reference's icp.yaml simply
+    doesn't select it — a deliberate, documented improvement.
+    """
 
     max_iterations: int = 40
     knn_max_dist: float = 10.0
@@ -40,6 +49,19 @@ class ICPConfig(NamedTuple):
     min_diff_trans: float = 0.1
     smooth_length: int = 4
     min_matched_points: int = 3
+    point_to_line: bool = False
+    normal_k: int = 8
+    normal_radius: float = 2.0
+    # correspondence-radius annealing: iteration i gates matches at
+    # max(outlier_min_dist, outlier_max_dist * outlier_dist_decay^i).
+    # Early iterations keep the loose reference radius (so ICP can pull in
+    # from a coarse Sobol seed); late iterations tighten so points in
+    # NON-SHARED regions of a partial-overlap pair stop dragging the
+    # solution — the round-2 error budget measured that drag at 5-40 cm per
+    # loop closure with the reference's fixed 3 m radius. decay=1 disables
+    # (exact reference behavior).
+    outlier_dist_decay: float = 1.0
+    outlier_min_dist: float = 0.5
 
 
 class ICPResult(NamedTuple):
@@ -48,6 +70,16 @@ class ICPResult(NamedTuple):
     converged: jax.Array  # bool: differential checker fired before cap
     iterations: jax.Array  # int32: iterations actually applied
     inliers: jax.Array  # int32: final weighted match count
+    # registration information matrix (J^T J of the objective at the
+    # solution) and mean squared inlier residual: cov ~= mse * info^-1
+    # (Censi-style). Exposes how CONSTRAINED the registration is — near-zero
+    # tangential information on a single straight wall, tiny overall
+    # information for low-overlap loop candidates. The reference has no
+    # equivalent (its covariance comes only from multi-start spread,
+    # slam.py:365-371); this is a deliberate improvement feeding the loop
+    # factor weights.
+    info: jax.Array  # (3, 3)
+    mse: jax.Array  # scalar
 
 
 def _weighted_procrustes(src, dst, w):
@@ -64,6 +96,53 @@ def _weighted_procrustes(src, dst, w):
     tx = qc[0] - (c * pc[0] - s * pc[1])
     ty = qc[1] - (s * pc[0] + c * pc[1])
     return jnp.stack([tx, ty, theta])
+
+
+def _weighted_p2l(src, dst, normals, w):
+    """One linearized point-to-line update: minimize
+    sum_i w_i (n_i . (src_i + t + theta*J src_i - dst_i))^2 over (t, theta).
+
+    Zero normals (unreliable neighborhoods) drop out of the solve. A ridge
+    proportional to trace(A) keeps directions the line constraints leave
+    unobservable (e.g. tangential along one straight wall) anchored at zero
+    update — the guess (odometry) holds them, instead of P2P inventing a
+    tangential pull. Returns ((3,) delta, effective constraint weight).
+    """
+    have_n = jnp.sum(normals * normals, axis=-1) > 0.5
+    wn = w * have_n.astype(src.dtype)
+    r = jnp.sum(normals * (src - dst), axis=-1)
+    jp = jnp.stack([-src[:, 1], src[:, 0]], axis=-1)  # J @ p
+    a = jnp.stack(
+        [normals[:, 0], normals[:, 1], jnp.sum(normals * jp, axis=-1)],
+        axis=-1,
+    )  # (N, 3)
+    aw = a * wn[:, None]
+    A = aw.T @ a
+    rhs = -(aw.T @ r)
+    ridge = 1e-5 * jnp.trace(A) + 1e-9
+    x = jnp.linalg.solve(A + ridge * jnp.eye(3, dtype=src.dtype), rhs)
+    # keep the rotation inside the linearization's validity
+    x = x.at[2].set(jnp.clip(x[2], -0.5, 0.5))
+    mse = jnp.sum(wn * r * r) / jnp.maximum(jnp.sum(wn), 1.0)
+    return x, jnp.sum(wn), A, mse
+
+
+def _p2p_info(moved, dst, w):
+    """J^T J and mean squared residual of the point-to-point objective at the
+    current correspondences (the Censi covariance ingredients)."""
+    r = dst - moved
+    mx, my = moved[:, 0], moved[:, 1]
+    sw = jnp.sum(w)
+    info = jnp.zeros((3, 3), moved.dtype)
+    info = info.at[0, 0].set(sw)
+    info = info.at[1, 1].set(sw)
+    info = info.at[0, 2].set(jnp.sum(w * -my))
+    info = info.at[2, 0].set(jnp.sum(w * -my))
+    info = info.at[1, 2].set(jnp.sum(w * mx))
+    info = info.at[2, 1].set(jnp.sum(w * mx))
+    info = info.at[2, 2].set(jnp.sum(w * (mx * mx + my * my)))
+    mse = jnp.sum(w * jnp.sum(r * r, axis=-1)) / jnp.maximum(2.0 * sw, 1.0)
+    return info, mse
 
 
 def _trim_threshold(d2, valid, ratio):
@@ -92,8 +171,17 @@ def icp(
     cfg = config
     smooth = cfg.smooth_length
 
+    if cfg.point_to_line:
+        from .normals import estimate_normals
+
+        # target is fixed across iterations (and across vmapped multistart
+        # lanes — XLA hoists this out of the batch): compute normals once
+        tgt_normals = estimate_normals(
+            target_points, target_mask, cfg.normal_k, cfg.normal_radius
+        )
+
     def cond(carry):
-        pose, done, ok, iters, rot_hist, trans_hist, inliers = carry
+        pose, done, ok, iters, rot_hist, trans_hist, inliers, info, mse = carry
         # while_loop early exit: once the differential checker fires (or the
         # match starves), the remaining iterations are skipped entirely — a
         # masked fixed-length scan would burn the full iteration budget.
@@ -102,19 +190,41 @@ def icp(
         return (~done) & (iters < cfg.max_iterations)
 
     def body(carry):
-        pose, done, ok, iters, rot_hist, trans_hist, inliers = carry
+        pose, done, ok, iters, rot_hist, trans_hist, inliers, info, mse = carry
         moved = se2_transform_points(source_points, pose)
         idx, d2 = nn_match(
             target_points, target_mask, moved, source_mask, cfg.knn_max_dist
         )
-        valid = (idx != -1) & (d2 <= cfg.outlier_max_dist**2)
+        if cfg.outlier_dist_decay < 1.0:
+            gate = jnp.maximum(
+                cfg.outlier_min_dist,
+                cfg.outlier_max_dist
+                * cfg.outlier_dist_decay ** iters.astype(source_points.dtype),
+            )
+        else:
+            gate = cfg.outlier_max_dist
+        valid = (idx != -1) & (d2 <= gate**2)
         thresh = _trim_threshold(d2, valid, cfg.trim_ratio)
         w = (valid & (d2 <= thresh)).astype(source_points.dtype)
         n_match = jnp.sum(w).astype(jnp.int32)
         enough = n_match >= cfg.min_matched_points
 
-        matched = target_points[jnp.clip(idx, 0, target_points.shape[0] - 1)]
-        delta = _weighted_procrustes(moved, matched, w)
+        safe_idx = jnp.clip(idx, 0, target_points.shape[0] - 1)
+        matched = target_points[safe_idx]
+        if cfg.point_to_line:
+            delta_l, n_constrained, new_info, new_mse = _weighted_p2l(
+                moved, matched, tgt_normals[safe_idx], w
+            )
+            # starved of line constraints -> fall back to point-to-point
+            delta_p = _weighted_procrustes(moved, matched, w)
+            info_p, mse_p = _p2p_info(moved, matched, w)
+            use_l = n_constrained >= 3
+            delta = jnp.where(use_l, delta_l, delta_p)
+            new_info = jnp.where(use_l, new_info, info_p)
+            new_mse = jnp.where(use_l, new_mse, mse_p)
+        else:
+            delta = _weighted_procrustes(moved, matched, w)
+            new_info, new_mse = _p2p_info(moved, matched, w)
         new_pose = se2_compose(delta, pose)
 
         # differential transformation checker over the last `smooth` deltas
@@ -125,14 +235,21 @@ def icp(
         conv = (jnp.mean(rot_hist) < cfg.min_diff_rot) & (
             jnp.mean(trans_hist) < cfg.min_diff_trans
         )
+        if cfg.outlier_dist_decay < 1.0:
+            # don't declare convergence while the radius is still annealing —
+            # the tight-gate refinement is the point of the schedule
+            conv = conv & (gate <= cfg.outlier_min_dist * 1.001)
 
         step_ok = ok & enough
         advance = (~done) & step_ok
         pose = jnp.where(advance, new_pose, pose)
         iters = iters + advance.astype(jnp.int32)
         inliers = jnp.where(advance, n_match, inliers)
+        info = jnp.where(advance, new_info, info)
+        mse = jnp.where(advance, new_mse, mse)
         done = done | conv | ~step_ok
-        return (pose, done, step_ok | done, iters, rot_hist, trans_hist, inliers)
+        return (pose, done, step_ok | done, iters, rot_hist, trans_hist,
+                inliers, info, mse)
 
     big = jnp.full((smooth,), 1e6, source_points.dtype)
     init = (
@@ -143,9 +260,11 @@ def icp(
         big,
         big,
         jnp.asarray(0, jnp.int32),
+        jnp.zeros((3, 3), source_points.dtype),
+        jnp.asarray(0.0, source_points.dtype),
     )
-    pose, done, _, iters, rot_hist, trans_hist, inliers = jax.lax.while_loop(
-        cond, body, init
+    (pose, done, _, iters, rot_hist, trans_hist, inliers, info, mse) = (
+        jax.lax.while_loop(cond, body, init)
     )
     # ok mirrors libpointmatcher "success": never starved of matches
     ok = inliers >= cfg.min_matched_points
@@ -153,7 +272,7 @@ def icp(
         jnp.mean(trans_hist) < cfg.min_diff_trans
     )
     return ICPResult(pose=pose, ok=ok, converged=converged, iterations=iters,
-                     inliers=inliers)
+                     inliers=inliers, info=info, mse=mse)
 
 
 def icp_multistart(
