@@ -209,6 +209,7 @@ class SlamCarry(NamedTuple):
     # accepted loop-closure log (for constraint export/visualization)
     loops_i: jax.Array  # (L,) target keys
     loops_j: jax.Array  # (L,) source keys
+    loops_tf: jax.Array  # (L, 3) measured transform target->source
     num_loops: jax.Array  # int32
 
 
@@ -251,6 +252,7 @@ def slam_init(dims: SlamDims) -> SlamCarry:
         q_head=jnp.asarray(0, jnp.int32),
         loops_i=jnp.zeros((L,), jnp.int32),
         loops_j=jnp.zeros((L,), jnp.int32),
+        loops_tf=jnp.zeros((L, 3), f),
         num_loops=jnp.asarray(0, jnp.int32),
     )
 
@@ -700,15 +702,17 @@ def keyframe_step(
                 enabled=en,
             )
             li = cc.num_loops
+            slot = jnp.clip(li, 0, dims.max_loops - 1)
             cc = cc._replace(
                 graph=g,
                 loops_i=jnp.where(
-                    en, cc.loops_i.at[jnp.clip(li, 0, dims.max_loops - 1)]
-                    .set(c.q_target[qi]), cc.loops_i
+                    en, cc.loops_i.at[slot].set(c.q_target[qi]), cc.loops_i
                 ),
                 loops_j=jnp.where(
-                    en, cc.loops_j.at[jnp.clip(li, 0, dims.max_loops - 1)]
-                    .set(c.q_source[qi]), cc.loops_j
+                    en, cc.loops_j.at[slot].set(c.q_source[qi]), cc.loops_j
+                ),
+                loops_tf=jnp.where(
+                    en, cc.loops_tf.at[slot].set(c.q_tf[qi]), cc.loops_tf
                 ),
                 num_loops=cc.num_loops + en.astype(jnp.int32),
                 q_inserted=cc.q_inserted.at[qi].set(

@@ -134,6 +134,68 @@ def test_multi_robot_exchange_and_merge():
     np.testing.assert_allclose(np.asarray(tfs[1]), expect, atol=0.05)
 
 
+def test_keyframe_axis_sharding_matches_core():
+    """The K-sharded NSSM gating + global transform (parallel/keyframe_shard)
+    must reproduce the in-core single-device computation exactly
+    (VERDICT r1 item 4 / SURVEY §5.7)."""
+    from sonar_slam_tpu.parallel.keyframe_shard import (
+        nssm_gate_sharded,
+        nssm_target_select_sharded,
+        transform_clouds_sharded,
+    )
+    from sonar_slam_tpu.geometry import se2_inverse, se2_transform_points
+    from sonar_slam_tpu.slam.scan_matching import max_eig_2x2
+
+    K, N, W = 16, 32, 3  # K divisible by the 8-device mesh
+    r = np.random.default_rng(3)
+    points = jnp.asarray(r.uniform(0, 20, size=(K, N, 2)), jnp.float32)
+    pmasks = jnp.asarray(r.random((K, N)) > 0.2)
+    poses = jnp.asarray(
+        np.stack([np.linspace(0, 30, K), np.linspace(0, 5, K),
+                  np.linspace(0, 1.2, K)], -1), jnp.float32)
+    covs = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None] * 1e-3, (K, 1, 1))
+    tgt_ok = jnp.arange(K) < 10
+    src_poses = poses[-W:]
+    src_covs = covs[-W:]
+    src_ok = jnp.asarray([True, True, False])
+    mesh = make_config_mesh(8, axis="kf")
+    max_range, half_ap = 30.0, float(np.radians(65.0))
+
+    # sharded global transform == vmapped single-device transform
+    g_shard = np.asarray(transform_clouds_sharded(points, poses, mesh))
+    g_ref = np.asarray(jax.vmap(se2_transform_points)(points, poses))
+    np.testing.assert_array_equal(g_shard, g_ref)
+
+    # sharded gating == the core's frame_sel chain (slam/core.py run_nssm)
+    sel, counts = nssm_gate_sharded(
+        points, pmasks, poses, tgt_ok, src_poses, src_covs, src_ok,
+        mesh, max_range, half_ap)
+
+    def ref_frame_sel(w):
+        pose, cov = src_poses[w], src_covs[w]
+        tstd = jnp.sqrt(max_eig_2x2(cov[:2, :2]))
+        rstd = jnp.sqrt(cov[2, 2])
+        local = se2_transform_points(g_ref.reshape(-1, 2), se2_inverse(pose))
+        rng_ = jnp.linalg.norm(local, axis=-1)
+        brg = jnp.arctan2(local[:, 1], local[:, 0])
+        return ((rng_ < tstd * 5.0 + max_range)
+                & (jnp.abs(brg) < rstd * 5.0 + half_ap) & src_ok[w])
+
+    sels_ref = jax.vmap(ref_frame_sel)(jnp.arange(W))
+    sel_ref = jnp.any(sels_ref, axis=0).reshape(K, N) & pmasks & tgt_ok[:, None]
+    np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel_ref))
+    np.testing.assert_array_equal(
+        np.asarray(counts), np.asarray(jnp.sum(sel_ref, axis=1)))
+
+    # the full target selection picks the reference argmax
+    _, counts2, best, have = nssm_target_select_sharded(
+        points, pmasks, poses, tgt_ok, src_poses, src_covs, src_ok,
+        mesh, max_range, half_ap)
+    ref_counts = np.asarray(jnp.sum(sel_ref, axis=1))
+    assert bool(have) == bool((ref_counts > 10).any())
+    assert int(best) == int(np.argmax(np.where(ref_counts > 10, ref_counts, -1)))
+
+
 def test_checkpoint_resume_equivalence(tmp_path):
     """Stopping the scan mid-way, checkpointing, and resuming must produce
     exactly the full-run result (the carry is RNG-free)."""
