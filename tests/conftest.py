@@ -17,6 +17,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# SONAR_SLAM_TPU_TESTS=1 keeps the ambient (TPU/axon) platform so the
+# tpu-marked device tests (tests/test_tpu.py) can run on the real chip;
+# everything else runs on the virtual CPU mesh.
+if os.environ.get("SONAR_SLAM_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs the real TPU (SONAR_SLAM_TPU_TESTS=1, one "
+        "TPU process at a time)")

@@ -1,0 +1,139 @@
+"""Real-device (TPU) tests — VERDICT r1 item 8.
+
+The regular suite forces the CPU platform (tests/conftest.py), so the
+shipped Mosaic/Pallas hot path is otherwise exercised only by bench.py.
+These tests run the Pallas CFAR kernels (all four variants, float inputs,
+including the OS one-level tolerance) and one tiny fused SLAM step on the
+actual chip.
+
+Run with:  SONAR_SLAM_TPU_TESTS=1 python -m pytest tests/test_tpu.py -m tpu -q
+(one TPU process at a time; first compile takes minutes on the remote
+service — the persistent cache in .jax_cache makes reruns fast).
+Without the env var / on a CPU-only host the tests self-skip.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.tpu
+
+_ON_TPU = (
+    os.environ.get("SONAR_SLAM_TPU_TESTS") == "1"
+    and jax.default_backend() not in ("cpu",)
+)
+
+requires_tpu = pytest.mark.skipif(
+    not _ON_TPU,
+    reason="needs SONAR_SLAM_TPU_TESTS=1 and a TPU/axon backend",
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cache():
+    if _ON_TPU:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"),
+        )
+    yield
+
+
+@requires_tpu
+@pytest.mark.parametrize("mode", ["CA", "SOCA", "GOCA"])
+def test_pallas_cfar_matches_xla_on_device(mode):
+    """Sum-based variants must match the XLA reference bit-for-bit on the
+    detection mask (float inputs) on the real Mosaic path."""
+    import jax.numpy as jnp
+    from sonar_slam_tpu.kernels import cfar_ca2, cfar_goca2, cfar_soca2
+    from sonar_slam_tpu.kernels.cfar_pallas import cfar_pallas_batch
+
+    fn = {"CA": cfar_ca2, "SOCA": cfar_soca2, "GOCA": cfar_goca2}[mode]
+    rng = np.random.default_rng(5)
+    imgs = rng.exponential(scale=20.0, size=(2, 128, 64)).astype(np.float32)
+    imgs[0, 50, 9] += 600
+    imgs[1, 90, 33] += 600
+    imgs = np.clip(imgs, 0, 255)
+    t, g, tau = 10, 2, 3.3
+    det, thr = cfar_pallas_batch(jnp.asarray(imgs), t, g, tau, mode)
+    det, thr = np.asarray(det), np.asarray(thr)
+    for b in range(2):
+        det_ref, thr_ref = fn(jnp.asarray(imgs[b]), t, g, tau)
+        np.testing.assert_array_equal(det[b], np.asarray(det_ref))
+        np.testing.assert_allclose(thr[b], np.asarray(thr_ref),
+                                   rtol=1e-4, atol=1e-2)
+
+
+@requires_tpu
+def test_pallas_os_cfar_float_tolerance_on_device():
+    """OS-CFAR's intensity-level binary search is exact for integer inputs;
+    on FLOAT inputs the rank statistic may differ by at most one intensity
+    level. Quantify: the detection mask may only disagree where the pixel
+    sits within one level of the threshold."""
+    import jax.numpy as jnp
+    from sonar_slam_tpu.kernels import cfar_os2
+    from sonar_slam_tpu.kernels.cfar_pallas import cfar_pallas_batch
+
+    rng = np.random.default_rng(7)
+    imgs = np.clip(rng.exponential(scale=20.0, size=(1, 128, 64)), 0, 255
+                   ).astype(np.float32)  # float intensities, like the sim
+    imgs[0, 60, 20] += 150
+    t, g, rank, tau = 10, 2, 12, 2.5
+    det, thr = cfar_pallas_batch(jnp.asarray(imgs), t, g, tau, "OS", rank=rank)
+    det_ref, thr_ref = cfar_os2(jnp.asarray(imgs[0]), t, g, rank, tau)
+    det, thr = np.asarray(det[0]), np.asarray(thr[0])
+    det_ref, thr_ref = np.asarray(det_ref), np.asarray(thr_ref)
+    disagree = det != det_ref
+    # any disagreement must be attributable to <= 1 intensity level of
+    # threshold difference
+    lvl = np.abs(thr - thr_ref)
+    assert np.all(lvl[disagree] <= tau + 1e-3), (
+        f"OS float divergence beyond one level: max {lvl[disagree].max()}")
+    frac = disagree.mean()
+    assert frac < 0.01, f"OS float mask divergence too large: {frac:.4f}"
+
+
+@requires_tpu
+def test_fused_slam_step_on_device():
+    """One tiny fused SLAM keyframe step compiles and runs on the chip and
+    matches basic invariants (finite pose, a keyframe appended)."""
+    import __graft_entry__ as g
+
+    fn, (carry, frame) = g.entry()
+    new_carry, out = fn(carry, frame)
+    jax.block_until_ready(new_carry.poses)
+    assert int(new_carry.num_kf) == 1
+    assert np.isfinite(np.asarray(out.pose)).all()
+    # second step from the new carry (exercises the SSM/ICP path with a
+    # previous keyframe present)
+    new_carry2, out2 = fn(new_carry, frame._replace(
+        time=frame.time + 2.0,
+        dr_pose3=frame.dr_pose3 + np.asarray([1.5, 0, 0, 0, 0, 0],
+                                             np.float32)))
+    jax.block_until_ready(new_carry2.poses)
+    assert int(new_carry2.num_kf) == 2
+    assert np.isfinite(np.asarray(out2.pose)).all()
+
+
+@requires_tpu
+def test_feature_extractor_pallas_path_on_device():
+    """The shipped frontend hot path (fused Pallas detector + binner +
+    sub-bin refinement) runs on device and returns a sane masked cloud."""
+    import jax.numpy as jnp
+    from sonar_slam_tpu.io.simulate import SimConfig, simulate_bag
+    from sonar_slam_tpu.slam.frontend import FeatureConfig, FeatureExtractor
+
+    bag = simulate_bag(SimConfig(duration=4.0, sonar_rate=1.0,
+                                 num_ranges=192, num_bearings=96,
+                                 loop_radius=10.0, imu_rate=20.0))
+    ex = FeatureExtractor(FeatureConfig(max_points=128), bag.geometry)
+    pts, mask = ex.extract_batch(jnp.asarray(bag.ping_images[:2]))
+    pts, mask = np.asarray(pts), np.asarray(mask)
+    assert mask.any(), "no features detected on device"
+    r = np.linalg.norm(pts[mask], axis=-1)
+    assert (r <= bag.geometry.max_range + 1e-3).all()
+    assert np.isfinite(pts).all()
