@@ -13,9 +13,13 @@ met; the absolute x-real-time number is the headline.
 
 Measured work (steady state, post-compile): dead-reckoning scan over all
 sensor ticks + batched CFAR feature extraction over keyframe pings + the full
-fused SLAM scan (SSM + NSSM + PCM + GN smoothing) — i.e. everything the
-reference's node graph does during `slam.launch file:=bag` except rosbag
-decoding (host-side, one-time, excluded in both systems).
+fused SLAM scan (SSM + NSSM + PCM + GN smoothing) + the occupancy mapping
+stage (all keyframe submaps built, the full post-loop-closure repaint render,
+and the method-1 export — what `mapping_node.py:91-126` does per replay) —
+i.e. everything the reference's node graph does during
+`slam.launch file:=bag` except rosbag decoding (host-side, one-time,
+excluded in both systems). Per-stage wall times are reported in
+``extra.stages_ms``.
 
 Usage: python bench.py [--cpu] [--small] [--json-only]
 """
@@ -156,8 +160,46 @@ def main() -> None:
         )
         return slam_scan(frames, params, dims)
 
+    # mapping stage (VERDICT r1 #5): the reference replay also runs the
+    # mapping node (`mapping_node.py:91-126`) — per keyframe: build the
+    # submap + O(n) repaint. The TPU-native equivalent is one batched
+    # submap build over ALL keyframes + the full batched repaint render
+    # (what update_poses does after a loop closure) + the method-1 export.
+    from sonar_slam_tpu.mapping import (
+        MappingConfig, SubmapModel, build_submap_logodds, mapping_init,
+        occupancy_grid_method1, render_global_logodds,
+    )
+
+    from dataclasses import replace as _dc_replace
+
+    mcfg = _dc_replace(MappingConfig(), max_keyframes=dims.max_keyframes)
+    model = SubmapModel(mcfg, bag.geometry)
+
+    @jax.jit
+    def stage3_mapping(poses, points, masks, valid):
+        logodds = jax.vmap(lambda p, m: build_submap_logodds(p, m, model))(
+            points, masks
+        )
+        state = mapping_init(mcfg, model)._replace(
+            kf_logodds=logodds, kf_poses=poses, kf_valid=valid,
+            num_kf=jnp.sum(valid).astype(jnp.int32),
+        )
+        grid = render_global_logodds(state, model)  # the full repaint
+        occ = occupancy_grid_method1(state._replace(grid=grid), model)
+        return occ
+
+    stage_ms = {}
+
+    def timed(name, fn, *a):
+        t = time.time()
+        out = fn(*a)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        stage_ms[name] = stage_ms.get(name, 0.0) + (time.time() - t) * 1e3
+        return out
+
     def device_pipeline():
-        kf_mask, ping_dr3 = stage1()
+        stage_ms.clear()
+        kf_mask, ping_dr3 = timed("dr_gate", stage1)
         kf_idx = np.nonzero(np.asarray(kf_mask))[0]
         K = dims.max_keyframes
         kf_idx = kf_idx[:K]
@@ -165,17 +207,20 @@ def main() -> None:
         valid[: len(kf_idx)] = True
         sel = np.concatenate([kf_idx, np.zeros(K - len(kf_idx), np.int64)])
         sel_d, valid_d = jnp.asarray(sel), jnp.asarray(valid)
-        pts, masks = extractor.extract_batch(ping_images[sel_d])
-        carry, outputs = stage2b(sel_d, valid_d, ping_dr3, pts, masks)
-        jax.block_until_ready(carry.poses)
-        return carry, kf_idx
+        pts, masks = timed("features", extractor.extract_batch,
+                           ping_images[sel_d])
+        carry, outputs = timed("slam_scan", stage2b, sel_d, valid_d,
+                               ping_dr3, pts, masks)
+        occ = timed("mapping", stage3_mapping, carry.poses, carry.points,
+                    carry.pmasks, valid_d)
+        return carry, kf_idx, occ
 
     # the remote compile service in this environment sporadically drops
     # long-running compile requests — retry the first (compiling) run
     t0 = time.time()
     for attempt in range(3):
         try:
-            carry, kf_idx = device_pipeline()
+            carry, kf_idx, occ = device_pipeline()
             break
         except Exception as e:  # jax.errors.JaxRuntimeError on transport loss
             log(f"compile attempt {attempt + 1} failed: {e}")
@@ -188,9 +233,10 @@ def main() -> None:
     times = []
     for _ in range(args.repeats):
         t0 = time.time()
-        carry, kf_idx = device_pipeline()
+        carry, kf_idx, occ = device_pipeline()
         times.append(time.time() - t0)
     wall = float(np.median(times))
+    occupied = int(np.sum(np.asarray(occ) > 55))
 
     nk = int(carry.num_kf)
     truth = bag.true_pose_at_ping[kf_idx][:nk]
@@ -214,6 +260,8 @@ def main() -> None:
             "wall_s": round(wall, 3),
             "compile_s": round(compile_s, 1),
             "platform": jax.devices()[0].platform,
+            "stages_ms": {k: round(v, 1) for k, v in stage_ms.items()},
+            "map_occupied_cells": occupied,
         },
     }))
 
