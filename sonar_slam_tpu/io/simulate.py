@@ -48,6 +48,11 @@ class SimConfig:
     imu_yaw_drift: float = 0.00005  # rad/s random-walk yaw bias (heading drift)
     wall_point_spacing: float = 0.25
     seed: int = 0
+    # multi-robot support: trajectory phase offset around the survey loop
+    # (radians) and an optional separate world seed so two robots with
+    # different sensor-noise seeds survey the SAME structure
+    phase: float = 0.0
+    world_seed: int | None = None
     # pulse/beam rendering: each return is splatted as a separable Gaussian
     # envelope across range bins (transmit pulse length) and bearing columns
     # (beam pattern), centered at the CONTINUOUS (range, bearing) of the
@@ -134,7 +139,7 @@ def _make_world(cfg: SimConfig, rng) -> np.ndarray:
 def _trajectory(cfg: SimConfig, t: np.ndarray):
     """Closed loop (slightly squashed circle) traversed at constant speed.
     Returns (xy (T, 2), yaw (T,), body_vel (T, 3))."""
-    theta = (cfg.speed / cfg.loop_radius) * t
+    theta = cfg.phase + (cfg.speed / cfg.loop_radius) * t
     x = cfg.loop_radius * np.cos(theta)
     y = cfg.loop_radius * 0.8 * np.sin(theta)
     dx = -cfg.loop_radius * np.sin(theta) * (cfg.speed / cfg.loop_radius)
@@ -235,7 +240,9 @@ def _render_vertical(pose, geom, floor_z, rng, cfg):
 
 def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
     rng = np.random.default_rng(cfg.seed)
-    world = _make_world(cfg, rng)
+    world_rng = (rng if cfg.world_seed is None
+                 else np.random.default_rng(cfg.world_seed))
+    world = _make_world(cfg, world_rng)
     geom = SonarGeometry.make(
         num_ranges=cfg.num_ranges,
         num_bearings=cfg.num_bearings,
