@@ -76,6 +76,12 @@ def main() -> None:
     ap.add_argument("--intensity", action="store_true",
                     help="also export the average-intensity map")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--p2l", action="store_true",
+                    help="point-to-line ICP minimizer (docs/ACCURACY.md)")
+    ap.add_argument("--icp-max-dist", type=float, default=None,
+                    help="override the ICP correspondence radius")
+    ap.add_argument("--no-subbin", action="store_true",
+                    help="disable sub-bin peak refinement in the frontend")
     args = ap.parse_args()
 
     import jax
@@ -106,7 +112,18 @@ def main() -> None:
     params, dims, _ = load_slam_config(
         args.slam_config, dims_overrides={"max_keyframes": args.max_keyframes}
     )
+    if args.p2l or args.icp_max_dist is not None:
+        from dataclasses import replace as _dcr
+
+        icp_over = {}
+        if args.p2l:
+            icp_over["point_to_line"] = True
+        if args.icp_max_dist is not None:
+            icp_over["outlier_max_dist"] = args.icp_max_dist
+        dims = _dcr(dims, icp=dims.icp._replace(**icp_over))
     feat = load_feature_config(args.feature_config, max_points=dims.max_points)
+    if args.no_subbin:
+        feat = feat._replace(subbin=False)
 
     with CodeTimer("replay (incl compile)"):
         t0 = time.time()

@@ -145,6 +145,25 @@ def _p2p_info(moved, dst, w):
     return info, mse
 
 
+def censi_covariance(info: jax.Array, mse: jax.Array, pose: jax.Array,
+                     ridge: float = 1e-6) -> jax.Array:
+    """Registration covariance of the RESULT POSE from (J^T J, mse).
+
+    cov_delta = mse * (J^T J)^-1 is in the delta parametrization (rotation
+    about the target-frame origin); the chain rule G = d(pose)/d(delta)
+    moves it to the pose's (x, y, theta): a rotation delta-theta displaces
+    the pose position by J @ t. Censi (ICRA 2007)-style closed form.
+    """
+    tr = jnp.trace(info)
+    A = info + (ridge * tr + 1e-12) * jnp.eye(3, dtype=info.dtype)
+    cov_delta = mse * jnp.linalg.inv(A)
+    G = jnp.asarray(
+        [[1.0, 0.0, -pose[1]], [0.0, 1.0, pose[0]], [0.0, 0.0, 1.0]],
+        info.dtype,
+    )
+    return G @ cov_delta @ G.T
+
+
 def _trim_threshold(d2, valid, ratio):
     """Squared-distance cutoff keeping `ratio` of the valid matches."""
     n = d2.shape[0]

@@ -51,6 +51,7 @@ from ..cloud import (
     nn_match,
     voxel_downsample,
 )
+from ..cloud.icp import censi_covariance
 from ..graph.factor_graph import (
     GraphConfig,
     GraphState,
@@ -153,6 +154,13 @@ class SlamParams(NamedTuple):
     pcm_queue_size: jax.Array
     robust_ssm: jax.Array  # bool: Cauchy-robustify scan-match factors
     fuse_odometry: jax.Array  # bool: keep the DR factor alongside SSM
+    # add the Hessian-based (Censi) registration covariance to the
+    # multi-start spread when weighting loop factors. The MCD spread
+    # collapses when every Sobol guess converges to the same optimum
+    # (low-noise conditions), leaving only the fixed floor; the Censi term
+    # keeps the per-registration uncertainty in the weight. Deliberate
+    # improvement over the reference (spread-only, slam.py:365-371).
+    use_censi_cov: jax.Array  # bool
     ssm_sobol_pts: jax.Array  # (S1, 3) unit Sobol samples
     nssm_sobol_pts: jax.Array  # (S2, 3)
 
@@ -181,6 +189,7 @@ class SlamParams(NamedTuple):
             pcm_queue_size=jnp.asarray(5, jnp.int32),
             robust_ssm=jnp.asarray(False),
             fuse_odometry=jnp.asarray(False),
+            use_censi_cov=jnp.asarray(False),
             ssm_sobol_pts=jnp.asarray(sobol_unit_samples(dims.ssm_sobol)),
             nssm_sobol_pts=jnp.asarray(sobol_unit_samples(dims.nssm_sobol)),
         )
@@ -384,6 +393,15 @@ def keyframe_step(
     )
     guesses = ginit.guesses_vs(target_pose)
 
+    def _mean_censi(mres):
+        """ok-averaged Censi covariance of the multistart solutions (the
+        starts cluster at the optimum, so averaging is well-posed)."""
+        covs = jax.vmap(censi_covariance)(mres.info, mres.mse, mres.pose)
+        w = mres.ok.astype(jnp.float32)
+        return jnp.sum(covs * w[:, None, None], axis=0) / jnp.maximum(
+            jnp.sum(w), 1.0
+        )
+
     if dims.ssm_cov_samples > 0:
         mres = icp_multistart(
             frame.points, frame.pmask, tgt_pts, tgt_mask,
@@ -391,6 +409,7 @@ def keyframe_step(
         )
         mu, scov, n_ok = estimate_pose_covariance(mres.pose, mres.ok)
         enough = n_ok >= 5
+        scov = jnp.where(params.use_censi_cov, scov + _mean_censi(mres), scov)
         ssm_cov = localize_covariance(scov, mu)
         ssm_cov, _ = apply_covariance_floor(ssm_cov, params.icp_odom_sigmas)
         est_tf = mu
@@ -609,6 +628,7 @@ def keyframe_step(
         )
         mu, scov, n_ok = estimate_pose_covariance(mres.pose, mres.ok)
         enough_samples = n_ok >= 5
+        scov = jnp.where(params.use_censi_cov, scov + _mean_censi(mres), scov)
         lcov = localize_covariance(scov, mu)
         lcov, _ = apply_covariance_floor(lcov, params.icp_odom_sigmas)
 

@@ -33,7 +33,10 @@ def test_extractor_finds_wall(alg):
 
 
 def test_extractor_voxel_spacing():
-    cfg = FeatureConfig(resolution=0.5, max_points=256)
+    # the voxel-spacing invariant holds for the raw binner (subbin=False);
+    # sub-bin refinement may legitimately pull two adjacent voxels' centroids
+    # to the same physical peak at a voxel boundary
+    cfg = FeatureConfig(resolution=0.5, max_points=256, subbin=False)
     ext = FeatureExtractor(cfg, GEOM)
     pts, mask = ext.extract(jnp.asarray(wall_ping()))
     pts = np.asarray(pts)[np.asarray(mask)]
@@ -42,6 +45,28 @@ def test_extractor_voxel_spacing():
 
     if len(pts) > 1:
         assert pdist(pts).min() > 0.2
+
+
+def test_subbin_refinement_bounded():
+    """Refinement must move each output point by less than one polar cell
+    (offsets are clipped to half a cell along each axis)."""
+    base = FeatureExtractor(
+        FeatureConfig(resolution=0.5, max_points=256, subbin=False), GEOM)
+    fine = FeatureExtractor(
+        FeatureConfig(resolution=0.5, max_points=256, subbin=True), GEOM)
+    img = jnp.asarray(wall_ping())
+    p0, m0 = base.extract(img)
+    p1, m1 = fine.extract(img)
+    m0, m1 = np.asarray(m0), np.asarray(m1)
+    # voxel ranking (hit counts) is unchanged, so slot i is the same voxel;
+    # the radius-outlier filter sees shifted positions, so masks may differ
+    # on a few boundary points
+    assert (m0 == m1).mean() > 0.95
+    both = m0 & m1
+    d = np.linalg.norm(np.asarray(p1 - p0), axis=-1)[both]
+    # cell size: range_resolution radially, r*dtheta tangentially (~<= 0.5 m
+    # at max range for this geometry)
+    assert d.max() <= 0.5, d.max()
 
 
 def test_extractor_batch_matches_single():
