@@ -189,4 +189,93 @@ int64_t voxel_downsample(const float* pts, int64_t n, float resolution,
   return m;
 }
 
+// LZ4 block decompression (format spec implementation) — the fast path for
+// lz4-chunked rosbags; the pure-Python codec in sonar_slam_tpu/io/lz4.py is
+// the reference/fallback (real bags are GBs, Python decodes ~MB/s).
+// Returns bytes written, or -1 on malformed input / capacity overflow.
+int64_t lz4_decompress_block(const uint8_t* src, int64_t n, uint8_t* dst,
+                             int64_t cap) {
+  int64_t i = 0, o = 0;
+  while (i < n) {
+    const uint8_t token = src[i++];
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (i >= n) return -1;
+        b = src[i++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (i + lit > n || o + lit > cap) return -1;
+    std::memcpy(dst + o, src + i, static_cast<size_t>(lit));
+    i += lit;
+    o += lit;
+    if (i >= n) break;  // last sequence: literals only
+    if (i + 2 > n) return -1;
+    const int64_t offset = src[i] | (static_cast<int64_t>(src[i + 1]) << 8);
+    i += 2;
+    if (offset == 0 || offset > o) return -1;
+    int64_t ml = (token & 15) + 4;
+    if ((token & 15) == 15) {
+      uint8_t b;
+      do {
+        if (i >= n) return -1;
+        b = src[i++];
+        ml += b;
+      } while (b == 255);
+    }
+    if (o + ml > cap) return -1;
+    if (offset >= ml) {
+      std::memcpy(dst + o, dst + o - offset, static_cast<size_t>(ml));
+      o += ml;
+    } else {
+      for (int64_t k = 0; k < ml; ++k, ++o) dst[o] = dst[o - offset];
+    }
+  }
+  return o;
+}
+
+// XXH32 (frame-format checksums; same algorithm as io/lz4.py's reference)
+uint32_t xxh32(const uint8_t* p, int64_t n, uint32_t seed) {
+  const uint32_t P1 = 2654435761u, P2 = 2246822519u, P3 = 3266489917u,
+                 P4 = 668265263u, P5 = 374761393u;
+  auto rotl = [](uint32_t x, int r) { return (x << r) | (x >> (32 - r)); };
+  auto read32 = [](const uint8_t* q) {
+    uint32_t v;
+    std::memcpy(&v, q, 4);
+    return v;  // little-endian hosts only (x86/ARM)
+  };
+  const uint8_t* end = p + n;
+  uint32_t h;
+  if (n >= 16) {
+    uint32_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    const uint8_t* limit = end - 16;
+    do {
+      v1 = rotl(v1 + read32(p) * P2, 13) * P1; p += 4;
+      v2 = rotl(v2 + read32(p) * P2, 13) * P1; p += 4;
+      v3 = rotl(v3 + read32(p) * P2, 13) * P1; p += 4;
+      v4 = rotl(v4 + read32(p) * P2, 13) * P1; p += 4;
+    } while (p <= limit);
+    h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18);
+  } else {
+    h = seed + P5;
+  }
+  h += static_cast<uint32_t>(n);
+  while (p + 4 <= end) {
+    h = rotl(h + read32(p) * P3, 17) * P4;
+    p += 4;
+  }
+  while (p < end) {
+    h = rotl(h + (*p) * P5, 11) * P1;
+    ++p;
+  }
+  h ^= h >> 15;
+  h *= P2;
+  h ^= h >> 13;
+  h *= P3;
+  h ^= h >> 16;
+  return h;
+}
+
 }  // extern "C"

@@ -60,6 +60,12 @@ def _load():
         ctypes.c_int, ctypes.c_int, i64, f32p,
     ]
     lib.voxel_downsample.restype = i64
+    lib.lz4_decompress_block.argtypes = [
+        ctypes.c_char_p, i64, u8p, i64,
+    ]
+    lib.lz4_decompress_block.restype = i64
+    lib.xxh32.argtypes = [ctypes.c_char_p, i64, ctypes.c_uint32]
+    lib.xxh32.restype = ctypes.c_uint32
     _lib = lib
     return _lib
 
@@ -94,6 +100,27 @@ def align_last_before(ref_times: np.ndarray, query_times: np.ndarray):
     idx = np.empty(len(q), np.int64)
     lib.align_last_before(ref, len(ref), q, len(q), idx)
     return idx
+
+
+def xxh32(data: bytes, seed: int = 0):
+    """Native XXH32; None when the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.xxh32(data, len(data), seed))
+
+
+def lz4_decompress_block(src: bytes, max_out: int):
+    """Native LZ4 block decode; returns bytes, or None when the native lib
+    is unavailable (caller falls back to the pure-Python codec)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(max_out, np.uint8)
+    n = lib.lz4_decompress_block(src, len(src), out, max_out)
+    if n < 0:
+        raise ValueError("corrupt LZ4 block (native decoder)")
+    return out[:n].tobytes()
 
 
 def gamma_decompress(img_u8: np.ndarray, gamma: float) -> np.ndarray:

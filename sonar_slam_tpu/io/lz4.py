@@ -26,6 +26,32 @@ FRAME_MAGIC = 0x184D2204
 LEGACY_MAGIC = 0x184C2102
 _LEGACY_BLOCK = 8 << 20
 
+_rt = None
+_rt_checked = False
+
+
+def _native_runtime():
+    """The optional C++ host runtime (native/runtime.py); None if absent."""
+    global _rt, _rt_checked
+    if not _rt_checked:
+        _rt_checked = True
+        try:
+            import importlib.util
+            import os as _os
+
+            path = _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                    _os.path.abspath(__file__)))), "native", "runtime.py",
+            )
+            spec = importlib.util.spec_from_file_location(
+                "sonar_native_runtime", path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _rt = mod if mod.available() else None
+        except Exception:
+            _rt = None
+    return _rt
+
 # XXH32 primes
 _P1, _P2, _P3, _P4, _P5 = (
     2654435761, 2246822519, 3266489917, 668265263, 374761393,
@@ -38,7 +64,17 @@ def _rotl(x: int, r: int) -> int:
 
 
 def xxh32(data: bytes, seed: int = 0) -> int:
-    """XXH32 of ``data`` (the checksum the LZ4 frame format uses)."""
+    """XXH32 of ``data`` (the checksum the LZ4 frame format uses).
+
+    Routes through the native runtime for large inputs (the pure-Python loop
+    below is the reference implementation; ~5 MB/s vs GB/s native).
+    """
+    if len(data) > 4096:
+        rt = _native_runtime()
+        if rt is not None:
+            h = rt.xxh32(data, seed)
+            if h is not None:
+                return h
     n = len(data)
     i = 0
     if n >= 16:
@@ -82,8 +118,20 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 # ----------------------------------------------------------------------
 
 
-def decompress_block(src: bytes) -> bytes:
-    """Decode one raw LZ4 block."""
+def decompress_block(src: bytes, max_out: int | None = None) -> bytes:
+    """Decode one raw LZ4 block.
+
+    With ``max_out`` (the frame's declared block size bound), the native C
+    decoder (native/runtime.py) is used when available — the pure-Python
+    loop below is the reference implementation and the fallback (real bags
+    are GBs; Python decodes ~MB/s, the native path ~GB/s).
+    """
+    if max_out is not None:
+        rt = _native_runtime()
+        if rt is not None:
+            out_n = rt.lz4_decompress_block(src, max_out)
+            if out_n is not None:
+                return out_n
     out = bytearray()
     i, n = 0, len(src)
     while i < n:
@@ -203,15 +251,19 @@ def decompress_frame(data: bytes) -> bytes:
             if bsize in (FRAME_MAGIC, LEGACY_MAGIC):
                 break  # next frame begins
             pos += 4
-            out += decompress_block(data[pos : pos + bsize])
+            out += decompress_block(data[pos : pos + bsize], _LEGACY_BLOCK)
             pos += bsize
         return bytes(out)
     if magic != FRAME_MAGIC:
         raise ValueError(f"not an LZ4 frame (magic {magic:#x})")
     flg = data[pos]
+    bd = data[pos + 1]
     pos += 2  # FLG + BD
     if flg >> 6 != 1:
         raise ValueError(f"unsupported LZ4 frame version {flg >> 6}")
+    # BD bits 6-4: block max size code (4=64KB .. 7=4MB)
+    bs_code = (bd >> 4) & 0x7
+    block_max = 1 << (8 + 2 * max(bs_code, 4))
     block_checksum = (flg >> 4) & 1
     content_size = (flg >> 3) & 1
     content_checksum = (flg >> 2) & 1
@@ -231,7 +283,7 @@ def decompress_frame(data: bytes) -> bytes:
         bsize &= 0x7FFFFFFF
         block = data[pos : pos + bsize]
         pos += bsize
-        out += block if uncompressed else decompress_block(block)
+        out += block if uncompressed else decompress_block(block, block_max)
         if block_checksum:
             pos += 4
     if content_checksum:

@@ -74,6 +74,32 @@ def test_frame_content_checksum_detects_corruption():
             raise AssertionError("corruption not detected")
 
 
+def test_native_matches_python_reference():
+    """The native C decoder/xxh32 must agree exactly with the pure-Python
+    reference implementations (skips silently if no compiler)."""
+    import sonar_slam_tpu.io.lz4 as L
+
+    rt = L._native_runtime()
+    if rt is None:
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(2)
+    for n in (1, 100, 65536, 200000):
+        raw = (b"sonar" * (n // 5 + 1))[:n // 2] + rng.integers(
+            0, 256, n - n // 2, dtype=np.uint8).tobytes()
+        comp = compress_block(raw)
+        assert rt.lz4_decompress_block(comp, n + 16) == decompress_block(comp)
+        assert rt.xxh32(raw, 0) == xxh32(b"" + raw) or True
+        # force the python xxh32 for the reference value
+        saved = (L._rt, L._rt_checked)
+        L._rt, L._rt_checked = None, True
+        ref = L.xxh32(raw)
+        L._rt, L._rt_checked = saved
+        assert rt.xxh32(raw, 0) == ref
+    # corrupt input must raise, not crash
+    with pytest.raises(ValueError):
+        rt.lz4_decompress_block(b"\xff\xff\xff", 64)
+
+
 def test_lz4_bag_roundtrip(tmp_path):
     from sonar_slam_tpu.io.rosbag import read_bag, write_bag
     from tests.test_rosbag import DVL_DEF, ser_dvl
