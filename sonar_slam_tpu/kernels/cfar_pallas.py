@@ -59,15 +59,19 @@ def _cfar_kernel(img_ref, det_ref, thr_ref, *, train_hs, guard_hs, tau,
 
 
 def _cfar_os_kernel(img_ref, det_ref, thr_ref, *, train_hs, guard_hs, k, tau,
-                    intensity_threshold, rows):
+                    intensity_threshold, rows, float_refine_steps):
     """OS-CFAR: per-pixel k-th smallest (0-indexed) of the training window.
 
     Instead of materializing and sorting the (R, 128, 2*train_hs) window
-    tensor, the rank statistic is found by an 8-step binary search over the
-    [0, 256) intensity range: each step counts training cells <= mid with
-    2*train_hs sublane rolls. Exact when the image holds integer values
-    (decoded uint8 sonar intensities); otherwise accurate to one intensity
-    level. Pure VPU work, one image read.
+    tensor, the rank statistic is found by binary search over the [0, 256)
+    intensity range: each step counts training cells <= mid with
+    2*train_hs sublane rolls. Phase 1 (8 integer-floor steps) is EXACT for
+    integer-valued images (decoded uint8 sonar intensities) and brackets the
+    k-th value within one level otherwise; phase 2
+    (``float_refine_steps`` continuous bisections) narrows float inputs to
+    256/2^(8+steps) — fp-level agreement with a true windowed sort, closing
+    the one-level float divergence flagged in round 1. Pure VPU work, one
+    image read.
     """
     x = img_ref[0]
     n_rows = x.shape[0]
@@ -88,6 +92,14 @@ def _cfar_os_kernel(img_ref, det_ref, thr_ref, *, train_hs, guard_hs, k, tau,
         ge = window_count_leq(mid) >= (k + 1)
         hi = jnp.where(ge, mid, hi)
         lo = jnp.where(ge, lo, mid)
+    # continuous refinement inside the bracketed unit interval: a no-op for
+    # integer images (hi already equals the k-th value; mids below it never
+    # reach count k+1), convergent for float images
+    for _ in range(float_refine_steps):
+        mid = 0.5 * (lo + hi)
+        ge = window_count_leq(mid) >= (k + 1)
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid)
     kth = hi
     thr = tau * kth
 
@@ -103,7 +115,8 @@ def _cfar_os_kernel(img_ref, det_ref, thr_ref, *, train_hs, guard_hs, k, tau,
 
 @functools.partial(
     jax.jit, static_argnames=("train_hs", "guard_hs", "tau", "mode",
-                              "intensity_threshold", "rank"),
+                              "intensity_threshold", "rank",
+                              "os_float_refine_steps"),
 )
 def cfar_pallas_batch(
     imgs: jax.Array,  # (B, R, C) float32 polar frames
@@ -113,6 +126,7 @@ def cfar_pallas_batch(
     mode: str = "SOCA",
     intensity_threshold: float | None = None,
     rank: int = 0,
+    os_float_refine_steps: int = 14,
 ):
     """Batched fused CFAR: returns (detections (B,R,C) bool, thresholds f32).
 
@@ -136,6 +150,7 @@ def cfar_pallas_batch(
             tau=tau,
             intensity_threshold=intensity_threshold,
             rows=R,
+            float_refine_steps=os_float_refine_steps,
         )
     else:
         kernel = functools.partial(
