@@ -110,6 +110,31 @@ class SlamDims:
     icp: ICPConfig = ICPConfig()
     max_range: float = 30.0  # sonar geometry (FOV gating)
     half_aperture: float = float(np.radians(65.0))
+    # NSSM ICP-target construction: 0 = reference behavior (aggregate ALL
+    # candidate frames' clouds, slam.py:998 `get_points(target_frames, ...)`).
+    # The round-2 error budget measured that choice at ~22 cm median loop
+    # bias on multi-circuit surveys: candidate frames from OTHER circuits
+    # enter the target cloud through their drifted pose estimates, smearing
+    # it by exactly the drift the loop is supposed to correct. A positive
+    # value restricts the target to +-window keyframes around the chosen
+    # target frame — temporal neighbors whose relative poses are
+    # drift-free. Deliberate improvement over the reference.
+    nssm_target_window: int = 0
+    # two-stage loop measurement: after the multi-frame coarse registration,
+    # re-register the SINGLE source/target keyframe clouds from the coarse
+    # solution and use that transform when it stays consistent with the
+    # coarse one (gates below). Multi-frame submaps are aggregated through
+    # pose ESTIMATES, so their registration inherits correlated within-window
+    # drift (~10 cm measured at the full benchmark config); a single-frame
+    # pair has no aggregation error at all. The coarse stage provides the
+    # basin, the consistency gate rejects divergent single-frame fits
+    # (sparse clouds). Measured: 11.3 -> 4.6 cm median loop error.
+    # Deliberate improvement over the reference (which measures loops on the
+    # multi-frame clouds, slam.py:1031-1048).
+    nssm_pair_refine: bool = False
+    pair_refine_max_dt: float = 0.2  # consistency gate vs coarse (m)
+    pair_refine_max_dr: float = 0.04  # (rad)
+    pair_refine_min_inliers: int = 30
     aggregation_extent: float = 2.0  # voxel-grid half-extent, in max_ranges
     point_resolution: float = 0.5  # static: fixes voxel-grid dims at trace time
 
@@ -161,6 +186,14 @@ class SlamParams(NamedTuple):
     # keeps the per-registration uncertainty in the weight. Deliberate
     # improvement over the reference (spread-only, slam.py:365-371).
     use_censi_cov: jax.Array  # bool
+    # use the best-initialized start's ICP solution as the measured
+    # transform instead of the MCD robust mean over all starts (the
+    # reference uses fcov.location_, slam.py:374). The round-2 error budget
+    # measured the MCD mean at ~20 cm median loop error on multi-circuit
+    # surveys while the best-start solution lands at ~2-5 cm — off-basin
+    # starts pollute the mean. Covariance still comes from the spread +
+    # floor. Deliberate improvement over the reference.
+    use_best_start_tf: jax.Array  # bool
     ssm_sobol_pts: jax.Array  # (S1, 3) unit Sobol samples
     nssm_sobol_pts: jax.Array  # (S2, 3)
 
@@ -190,6 +223,7 @@ class SlamParams(NamedTuple):
             robust_ssm=jnp.asarray(False),
             fuse_odometry=jnp.asarray(False),
             use_censi_cov=jnp.asarray(False),
+            use_best_start_tf=jnp.asarray(False),
             ssm_sobol_pts=jnp.asarray(sobol_unit_samples(dims.ssm_sobol)),
             nssm_sobol_pts=jnp.asarray(sobol_unit_samples(dims.nssm_sobol)),
         )
@@ -402,6 +436,13 @@ def keyframe_step(
             jnp.sum(w), 1.0
         )
 
+    def _best_start(mres):
+        """The successful start with the most inlier correspondences — the
+        use_best_start_tf selector (see SlamParams docstring)."""
+        score = jnp.where(mres.ok, mres.inliers, -1)
+        b = jnp.argmax(score)
+        return mres.pose[b], score[b] >= 0
+
     if dims.ssm_cov_samples > 0:
         mres = icp_multistart(
             frame.points, frame.pmask, tgt_pts, tgt_mask,
@@ -409,6 +450,8 @@ def keyframe_step(
         )
         mu, scov, n_ok = estimate_pose_covariance(mres.pose, mres.ok)
         enough = n_ok >= 5
+        best_pose, best_ok = _best_start(mres)
+        mu = jnp.where(params.use_best_start_tf & best_ok, best_pose, mu)
         scov = jnp.where(params.use_censi_cov, scov + _mean_censi(mres), scov)
         ssm_cov = localize_covariance(scov, mu)
         ssm_cov, _ = apply_covariance_floor(ssm_cov, params.icp_odom_sigmas)
@@ -614,8 +657,13 @@ def keyframe_step(
         t2 = jnp.argmax(counts2)
         tpose2 = c.poses[t2]
 
-        # target points for ICP: the candidate frames' FULL clouds in t2 frame
+        # target points for ICP: the candidate frames' FULL clouds in t2
+        # frame (reference: slam.py:998), optionally restricted to the
+        # temporal window around t2 (see SlamDims.nssm_target_window)
         cand = counts_ok  # frames that passed the >10 gated-point cut
+        if dims.nssm_target_window > 0:
+            w = dims.nssm_target_window
+            cand = cand & (jnp.abs(kf_idx - t2) <= w)
         rel = jax.vmap(lambda k: se2_between(tpose2, c.poses[k]))(kf_idx)
         local2 = jax.vmap(se2_transform_points)(c.points, rel).reshape(-1, 2)
         mask2 = (c.pmasks & cand[:, None]).reshape(-1)
@@ -628,6 +676,25 @@ def keyframe_step(
         )
         mu, scov, n_ok = estimate_pose_covariance(mres.pose, mres.ok)
         enough_samples = n_ok >= 5
+        best_pose, best_ok = _best_start(mres)
+        mu = jnp.where(params.use_best_start_tf & best_ok, best_pose, mu)
+
+        if dims.nssm_pair_refine:
+            # stage 2: single-frame pairwise refinement from the coarse
+            # solution (see SlamDims.nssm_pair_refine)
+            safe_t2 = jnp.clip(t2, 0, K - 1)
+            rr = icp(
+                c.points[src_key], c.pmasks[src_key],
+                c.points[safe_t2], c.pmasks[safe_t2], mu, dims.icp,
+            )
+            dtf = se2_between(mu, rr.pose)
+            consistent = (
+                rr.ok
+                & (jnp.linalg.norm(dtf[:2]) <= dims.pair_refine_max_dt)
+                & (jnp.abs(dtf[2]) <= dims.pair_refine_max_dr)
+                & (rr.inliers >= dims.pair_refine_min_inliers)
+            )
+            mu = jnp.where(consistent, rr.pose, mu)
         scov = jnp.where(params.use_censi_cov, scov + _mean_censi(mres), scov)
         lcov = localize_covariance(scov, mu)
         lcov, _ = apply_covariance_floor(lcov, params.icp_odom_sigmas)
