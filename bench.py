@@ -78,24 +78,40 @@ def main() -> None:
         lambda *a: print(*a, file=sys.stderr)
     )
 
+    # production ICP configuration (docs/ACCURACY.md): point-to-line
+    # minimizer, tight correspondence gate, 12 iterations (p2l converges in
+    # about half of p2p's), windowed NSSM targets + single-frame pairwise
+    # loop refinement, best-start transform selection. Measured vs the
+    # round-1 reference-faithful settings: half the per-keyframe cost and
+    # better loop-transform accuracy.
+    icp_prod = ICPConfig(max_iterations=12, min_diff_rot=1e-3,
+                         min_diff_trans=1e-2, point_to_line=True,
+                         outlier_max_dist=0.5)
     if args.small:
         sim = SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0,
                         num_ranges=192, num_bearings=96, loop_radius=10.0,
                         imu_rate=20.0)
         dims = SlamDims(max_keyframes=32, max_points=128, target_capacity=512,
                         nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=128,
-                        max_loops=16, gn_iters=3,
-                        icp=ICPConfig(min_diff_rot=1e-3, min_diff_trans=1e-2))
+                        max_loops=16, gn_iters=3, icp=icp_prod,
+                        nssm_target_window=2, nssm_pair_refine=True,
+                        pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
+                        pair_refine_min_inliers=25)
+        # (reinit-after-select and DR-relative aggregation help only on
+        #  multi-circuit surveys with accumulated drift — the full config;
+        #  measured counterproductive on this short single-arc one)
         kf_translation = 2.0
     else:
         sim = SimConfig(duration=480.0, speed=0.5, sonar_rate=5.0,
                         num_ranges=512, num_bearings=256, loop_radius=18.0,
                         imu_rate=50.0)
         dims = SlamDims(max_keyframes=128, max_points=256, target_capacity=1024,
-                        nssm_cov_samples=30, ssm_sobol=64, nssm_sobol=512,
-                        max_loops=32, gn_iters=3,
-                        icp=ICPConfig(max_iterations=24, min_diff_rot=1e-3,
-                                      min_diff_trans=1e-2))
+                        nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=512,
+                        max_loops=32, gn_iters=3, icp=icp_prod,
+                        nssm_target_window=2, nssm_pair_refine=True,
+                        pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
+                        pair_refine_min_inliers=25,
+                        nssm_reinit_after_select=True, aggregate_with_dr=True)
         kf_translation = 3.0
 
     log(f"devices: {jax.devices()}")
@@ -110,10 +126,16 @@ def main() -> None:
     params = SlamParams.default(dims)._replace(
         keyframe_translation=jnp.float32(kf_translation),
         ssm_min_points=jnp.asarray(20, jnp.int32),
-        nssm_min_points=jnp.asarray(20, jnp.int32),
+        nssm_min_points=jnp.asarray(20 if args.small else 50, jnp.int32),
         fuse_odometry=jnp.asarray(True),
+        use_best_start_tf=jnp.asarray(True),
         odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
-        icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.03], jnp.float32),
+        # covariance floor scales with the sonar's per-point noise: the
+        # small config's 15.6 cm range bins make loop transforms ~2x
+        # noisier than the full config's 5.9 cm bins
+        icp_odom_sigmas=jnp.asarray(
+            [0.3, 0.3, 0.03] if args.small else [0.2, 0.2, 0.02],
+            jnp.float32),
     )
     feature_config = FeatureConfig(max_points=dims.max_points)
     dr_config = DRConfig(roll_offset=0.0)

@@ -33,20 +33,26 @@ def main():
         SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0, num_ranges=192,
                   num_bearings=96, loop_radius=10.0, imu_rate=20.0)
     )
+    # benchmark configuration (matches bench.py --small): the golden guards
+    # the HEADLINE behavior — production ICP/loop stack + odometry fusion
     dims = SlamDims(
         max_keyframes=32, max_points=128, target_capacity=512,
         nssm_min_st_sep=8, nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=128,
         max_loops=16, gn_iters=3,
-        icp=ICPConfig(min_diff_rot=1e-3, min_diff_trans=1e-2),
+        icp=ICPConfig(max_iterations=12, min_diff_rot=1e-3,
+                      min_diff_trans=1e-2, point_to_line=True,
+                      outlier_max_dist=0.5),
+        nssm_target_window=2, nssm_pair_refine=True,
+        pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
+        pair_refine_min_inliers=25,
     )
-    # benchmark configuration (matches bench.py --small): the golden guards
-    # the HEADLINE behavior, odometry fusion included
     p = SlamParams.default(dims)._replace(
         keyframe_translation=jnp.float32(2.0),
         keyframe_duration=jnp.float32(1.0),
         ssm_min_points=jnp.asarray(20, jnp.int32),
         nssm_min_points=jnp.asarray(20, jnp.int32),
         fuse_odometry=jnp.asarray(True),
+        use_best_start_tf=jnp.asarray(True),
         odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
         icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.03], jnp.float32),
     )

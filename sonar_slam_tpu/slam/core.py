@@ -135,6 +135,20 @@ class SlamDims:
     pair_refine_max_dt: float = 0.2  # consistency gate vs coarse (m)
     pair_refine_max_dr: float = 0.04  # (rad)
     pair_refine_min_inliers: int = 30
+    # re-run the Sobol global init against the (windowed) ICP target after
+    # overlap re-selection, so multistart guesses come from the CLEAN cloud
+    # rather than the all-candidate gated cloud whose drifted estimates can
+    # shift the basin (the reference computes guesses once, slam.py:926-973)
+    nssm_reinit_after_select: bool = False
+    # aggregate window-INTERNAL relative geometry from raw dead-reckoning
+    # poses instead of the optimized estimates. Optimized poses within a
+    # window are corrupted by any previously-inserted biased loop factor
+    # (feedback: bad loop -> bent graph -> smeared submaps -> worse next
+    # loop); raw DR relatives over a 3-5-keyframe window are accurate and
+    # immune. Absolute placement/selection still uses the graph estimates.
+    # Deliberate improvement over the reference (which aggregates with
+    # optimized poses throughout, slam.py:229-292).
+    aggregate_with_dr: bool = False
     aggregation_extent: float = 2.0  # voxel-grid half-extent, in max_ranges
     point_resolution: float = 0.5  # static: fixes voxel-grid dims at trace time
 
@@ -350,16 +364,27 @@ def _aggregate_window(
     window: int,
     spec: VoxelGridSpec,
     capacity: int,
+    ref_key: jax.Array | None = None,
+    use_dr_relatives: bool = False,
 ):
     """Downsampled union of `window` consecutive keyframes' clouds, expressed
     in ``ref_pose``'s frame. Keys first_key .. first_key+window-1; negative or
-    >=num_kf keys are masked."""
+    >=num_kf keys are masked.
+
+    With ``use_dr_relatives`` (and ``ref_key`` given), the WITHIN-WINDOW
+    relative transforms come from raw dead-reckoning poses instead of the
+    optimized estimates (see SlamDims.aggregate_with_dr)."""
     keys = first_key + jnp.arange(window)
     ok = (keys >= 0) & (keys < carry.num_kf)
     safe = jnp.clip(keys, 0, carry.points.shape[0] - 1)
     pts = carry.points[safe]  # (w, N, 2)
     masks = carry.pmasks[safe] & ok[:, None]
-    rel = jax.vmap(lambda k: se2_between(ref_pose, carry.poses[k]))(safe)
+    if use_dr_relatives:
+        assert ref_key is not None
+        ref_dr = carry.dr_poses[jnp.clip(ref_key, 0, carry.points.shape[0] - 1)]
+        rel = jax.vmap(lambda k: se2_between(ref_dr, carry.dr_poses[k]))(safe)
+    else:
+        rel = jax.vmap(lambda k: se2_between(ref_pose, carry.poses[k]))(safe)
     moved = jax.vmap(se2_transform_points)(pts, rel)
     flat_pts = moved.reshape(-1, 2)
     flat_mask = masks.reshape(-1)
@@ -407,6 +432,7 @@ def keyframe_step(
     tgt_pts, tgt_mask = _aggregate_window(
         carry, target_pose, prev - dims.ssm_target_frames + 1,
         dims.ssm_target_frames, spec, M,
+        ref_key=prev, use_dr_relatives=dims.aggregate_with_dr,
     )
     n_target = jnp.sum(tgt_mask)
 
@@ -575,6 +601,7 @@ def keyframe_step(
         src_pts, src_mask = _aggregate_window(
             c, src_pose, src_key - dims.nssm_source_frames + 1,
             dims.nssm_source_frames, spec, M,
+            ref_key=src_key, use_dr_relatives=dims.aggregate_with_dr,
         )
         n_src = jnp.sum(src_mask)
 
@@ -664,15 +691,33 @@ def keyframe_step(
         if dims.nssm_target_window > 0:
             w = dims.nssm_target_window
             cand = cand & (jnp.abs(kf_idx - t2) <= w)
-        rel = jax.vmap(lambda k: se2_between(tpose2, c.poses[k]))(kf_idx)
+        if dims.aggregate_with_dr and dims.nssm_target_window > 0:
+            # windowed target: within-window relatives from raw DR (valid
+            # for temporal neighbors, immune to loop feedback)
+            dr_t2 = c.dr_poses[jnp.clip(t2, 0, K - 1)]
+            rel = jax.vmap(lambda k: se2_between(dr_t2, c.dr_poses[k]))(kf_idx)
+        else:
+            rel = jax.vmap(lambda k: se2_between(tpose2, c.poses[k]))(kf_idx)
         local2 = jax.vmap(se2_transform_points)(c.points, rel).reshape(-1, 2)
         mask2 = (c.pmasks & cand[:, None]).reshape(-1)
         tpts2, tmask2 = voxel_downsample(local2, mask2, spec, M)
 
-        guesses = gi.guesses_vs(tpose2)
+        if dims.nssm_reinit_after_select:
+            gi2 = global_initialize(
+                src_pts, src_mask, tpts2, tmask2, src_pose, tpose2,
+                bounds=bounds,
+                unit_samples=params.nssm_sobol_pts,
+                point_noise=params.point_noise,
+                num_guesses=max(dims.nssm_cov_samples, 1),
+            )
+            guesses = gi2.guesses_vs(tpose2)
+            guess_mask = gi2.guess_mask
+        else:
+            guesses = gi.guesses_vs(tpose2)
+            guess_mask = gi.guess_mask
         mres = icp_multistart(
             src_pts, src_mask, tpts2, tmask2, guesses,
-            gi.guess_mask, dims.icp,
+            guess_mask, dims.icp,
         )
         mu, scov, n_ok = estimate_pose_covariance(mres.pose, mres.ok)
         enough_samples = n_ok >= 5
