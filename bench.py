@@ -111,7 +111,11 @@ def main() -> None:
                         nssm_target_window=2, nssm_pair_refine=True,
                         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
                         pair_refine_min_inliers=25,
-                        nssm_reinit_after_select=True, aggregate_with_dr=True)
+                        nssm_reinit_after_select=True, aggregate_with_dr=True,
+                        estimate_dvl_scale=True, dvl_scale_prior_sigma=0.05)
+        # (reinit / DR-relative aggregation / online DVL-scale calibration
+        #  are multi-circuit-drift features; measured counterproductive on
+        #  the short single-arc small config)
         kf_translation = 3.0
 
     log(f"devices: {jax.devices()}")
@@ -284,6 +288,8 @@ def main() -> None:
             "platform": jax.devices()[0].platform,
             "stages_ms": {k: round(v, 1) for k, v in stage_ms.items()},
             "map_occupied_cells": occupied,
+            "est_dvl_scale": round(
+                float(np.exp(np.asarray(carry.graph.log_scale))), 5),
         },
     }))
 

@@ -42,6 +42,15 @@ class GraphConfig(NamedTuple):
     gn_iters: int = 6  # max relinearization sweeps per update
     damping: float = 1e-9  # tiny LM damping for numerical safety
     convergence_tol: float = 1e-5  # early exit when max |delta| drops below
+    # online sensor-scale calibration: solve one extra global variable
+    # log_scale such that factors flagged `scaled` (odometry) measure
+    # exp(log_scale) * true translation, while unflagged factors (sonar
+    # scan matching — metric by physics) anchor the scale. The classic
+    # DVL-scale-bias shape error becomes observable from the loop/SSM
+    # factors. No reference equivalent (GTSAM could, the reference
+    # doesn't); a framework capability beyond parity.
+    estimate_scale: bool = False
+    scale_prior_sigma: float = 0.05  # prior on log_scale (~5% 1-sigma)
 
 
 class GraphState(NamedTuple):
@@ -54,7 +63,9 @@ class GraphState(NamedTuple):
     f_z: jax.Array  # (F, 3) measurement xi->xj
     f_sqrt_info: jax.Array  # (F, 3, 3) whitening matrices
     f_robust: jax.Array  # (F,) bool Cauchy flag
+    f_scaled: jax.Array  # (F,) bool: measurement scales with exp(log_scale)
     num_factors: jax.Array  # int32
+    log_scale: jax.Array  # scalar: estimated log sensor scale (0 = nominal)
 
 
 def sigmas_to_sqrt_info(sigmas) -> jax.Array:
@@ -85,7 +96,9 @@ def graph_init(config: GraphConfig) -> GraphState:
         f_z=jnp.zeros((F, 3), jnp.float32),
         f_sqrt_info=jnp.zeros((F, 3, 3), jnp.float32),
         f_robust=jnp.zeros((F,), bool),
+        f_scaled=jnp.zeros((F,), bool),
         num_factors=jnp.asarray(0, jnp.int32),
+        log_scale=jnp.asarray(0.0, jnp.float32),
     )
 
 
@@ -101,9 +114,13 @@ def add_prior(state: GraphState, pose, sqrt_info) -> GraphState:
 
 
 def add_between(
-    state: GraphState, i, j, z, sqrt_info, robust=False, enabled=True
+    state: GraphState, i, j, z, sqrt_info, robust=False, enabled=True,
+    scaled=False,
 ) -> GraphState:
-    """Append a BetweenFactorPose2 (masked no-op when ``enabled`` is False)."""
+    """Append a BetweenFactorPose2 (masked no-op when ``enabled`` is False).
+
+    ``scaled`` marks the measurement's translation as proportional to the
+    global sensor scale (see GraphConfig.estimate_scale)."""
     slot = state.num_factors
     en = jnp.asarray(enabled)
     inc = en.astype(jnp.int32)
@@ -125,6 +142,9 @@ def add_between(
         ),
         f_robust=state.f_robust.at[safe].set(
             jnp.where(en, jnp.asarray(robust), state.f_robust[safe])
+        ),
+        f_scaled=state.f_scaled.at[safe].set(
+            jnp.where(en, jnp.asarray(scaled), state.f_scaled[safe])
         ),
         num_factors=state.num_factors + inc,
     )
@@ -164,24 +184,57 @@ def _factor_linearization(xi, xj, z, sqrt_info, robust):
     return sw * r, sw * J[:, :3], sw * J[:, 3:]
 
 
+def _factor_linearization_scaled(xi, xj, z, sqrt_info, robust, scaled,
+                                 log_scale):
+    """Like _factor_linearization but with the measurement's translation
+    scaled by exp(log_scale + ds) for `scaled` factors; returns the extra
+    Jacobian column wrt the scale variable."""
+
+    def f(delta):
+        di, dj, ds = delta[:3], delta[3:6], delta[6]
+        s = jnp.where(scaled, jnp.exp(log_scale + ds), 1.0)
+        z_eff = jnp.asarray([z[0] * s, z[1] * s, z[2]])
+        return _between_residual(
+            se2_retract(xi, di), se2_retract(xj, dj), z_eff, sqrt_info
+        )
+
+    r = f(jnp.zeros(7))
+    J = jax.jacfwd(f)(jnp.zeros(7))
+    w = jnp.where(robust, 1.0 / (1.0 + jnp.sum(r * r)), 1.0)
+    sw = jnp.sqrt(w)
+    return sw * r, sw * J[:, :3], sw * J[:, 3:6], sw * J[:, 6]
+
+
 def _assemble_normal_equations(state: GraphState, config: GraphConfig):
-    """Build H (3K, 3K), b (3K) from all active factors at current estimates."""
+    """Build the Gauss-Newton normal equations at the current estimates.
+
+    Without scale estimation: H (3K, 3K), b (3K). With
+    ``config.estimate_scale``: H (3K+1, 3K+1), b (3K+1) — the last
+    row/column belongs to the global log_scale variable."""
     K = config.max_poses
     F = state.f_i.shape[0]
     active = jnp.arange(F) < state.num_factors
 
     xi = state.poses[state.f_i]
     xj = state.poses[state.f_j]
-    r, Ji, Jj = jax.vmap(_factor_linearization)(
-        xi, xj, state.f_z, state.f_sqrt_info, state.f_robust
-    )
+    if config.estimate_scale:
+        r, Ji, Jj, Js = jax.vmap(
+            _factor_linearization_scaled, in_axes=(0, 0, 0, 0, 0, 0, None)
+        )(xi, xj, state.f_z, state.f_sqrt_info, state.f_robust,
+          state.f_scaled, state.log_scale)
+    else:
+        r, Ji, Jj = jax.vmap(_factor_linearization)(
+            xi, xj, state.f_z, state.f_sqrt_info, state.f_robust
+        )
+        Js = None
     m = active.astype(jnp.float32)[:, None]
     r = r * m
     Ji = Ji * m[..., None]
     Jj = Jj * m[..., None]
 
-    H = jnp.zeros((3 * K, 3 * K), jnp.float32)
-    b = jnp.zeros((3 * K,), jnp.float32)
+    n = 3 * K + (1 if config.estimate_scale else 0)
+    H = jnp.zeros((n, n), jnp.float32)
+    b = jnp.zeros((n,), jnp.float32)
 
     hp = jax.lax.Precision.HIGHEST
 
@@ -199,6 +252,22 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
     b = b.at[ii].add(jnp.einsum("fab,fa->fb", Ji, r, precision=hp))
     b = b.at[jj].add(jnp.einsum("fab,fa->fb", Jj, r, precision=hp))
 
+    if config.estimate_scale:
+        Js = Js * m  # (F, 3)
+        s = 3 * K
+        crossi = jnp.einsum("fab,fa->fb", Ji, Js, precision=hp)  # (F, 3)
+        crossj = jnp.einsum("fab,fa->fb", Jj, Js, precision=hp)
+        H = H.at[ii, s].add(crossi)
+        H = H.at[s, ii].add(crossi)
+        H = H.at[jj, s].add(crossj)
+        H = H.at[s, jj].add(crossj)
+        H = H.at[s, s].add(jnp.sum(Js * Js))
+        b = b.at[s].add(jnp.sum(Js * r))
+        # prior on log_scale: (log_scale + ds - 0)^2 / sigma^2
+        w_s = 1.0 / config.scale_prior_sigma**2
+        H = H.at[s, s].add(w_s)
+        b = b.at[s].add(w_s * state.log_scale)
+
     # prior factor on X(0)
     def fprior(d):
         return state.prior_sqrt_info @ se2_logmap(
@@ -212,6 +281,8 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
 
     # gauge/padding regularization: identity on invalid pose blocks
     valid = jnp.repeat(jnp.arange(K) < state.num_poses, 3)
+    if config.estimate_scale:
+        valid = jnp.concatenate([valid, jnp.asarray([True])])
     H = H + jnp.diag(jnp.where(valid, config.damping, 1.0))
     return H, b
 
@@ -226,31 +297,40 @@ def optimize(state: GraphState, config: GraphConfig) -> GraphState:
     K = config.max_poses
 
     def cond(carry):
-        _, it, max_delta = carry
+        _, _, it, max_delta = carry
         # warm-started updates converge in one sweep between loop closures —
         # the while_loop skips the remaining relinearizations entirely
         return (it < config.gn_iters) & (max_delta > config.convergence_tol)
 
     def body(carry):
-        poses, it, _ = carry
-        st = state._replace(poses=poses)
+        poses, log_scale, it, _ = carry
+        st = state._replace(poses=poses, log_scale=log_scale)
         H, b = _assemble_normal_equations(st, config)
         L = jnp.linalg.cholesky(H)
         delta = -jax.scipy.linalg.cho_solve((L, True), b)
+        if config.estimate_scale:
+            ds = delta[3 * K]
+            log_scale = log_scale + ds
+            delta = delta[: 3 * K]
+        else:
+            ds = 0.0
         delta = delta.reshape(K, 3)
         valid = (jnp.arange(K) < state.num_poses)[:, None]
         new_poses = jnp.where(valid, jax.vmap(se2_retract)(poses, delta), poses)
-        max_delta = jnp.max(jnp.abs(jnp.where(valid, delta, 0.0)))
-        return new_poses, it + 1, max_delta
+        max_delta = jnp.maximum(
+            jnp.max(jnp.abs(jnp.where(valid, delta, 0.0))), jnp.abs(ds)
+        )
+        return new_poses, log_scale, it + 1, max_delta
 
     # fp32 throughout: the factorization/solves lower to blocked matmuls and
     # the default bf16 MXU pass would wash out cm-level pose corrections
     with jax.default_matmul_precision("highest"):
-        poses, _, _ = jax.lax.while_loop(
+        poses, log_scale, _, _ = jax.lax.while_loop(
             cond, body,
-            (state.poses, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf)),
+            (state.poses, state.log_scale, jnp.asarray(0, jnp.int32),
+             jnp.asarray(jnp.inf)),
         )
-    return state._replace(poses=poses)
+    return state._replace(poses=poses, log_scale=log_scale)
 
 
 def optimize_with_marginal(state: GraphState, k, config: GraphConfig):
@@ -264,7 +344,8 @@ def optimize_with_marginal(state: GraphState, k, config: GraphConfig):
         state = optimize(state, config)
         H, _ = _assemble_normal_equations(state, config)
         L = jnp.linalg.cholesky(H)
-        e = jnp.zeros((3 * K, 3), jnp.float32)
+        n = 3 * K + (1 if config.estimate_scale else 0)
+        e = jnp.zeros((n, 3), jnp.float32)
         rows = 3 * jnp.asarray(k, jnp.int32) + jnp.arange(3)
         e = e.at[rows, jnp.arange(3)].set(1.0)
         cols = jax.scipy.linalg.cho_solve((L, True), e)
@@ -278,7 +359,8 @@ def marginal_covariance(state: GraphState, k, config: GraphConfig) -> jax.Array:
     with jax.default_matmul_precision("highest"):
         H, _ = _assemble_normal_equations(state, config)
         L = jnp.linalg.cholesky(H)
-        e = jnp.zeros((3 * config.max_poses, 3), jnp.float32)
+        n = 3 * config.max_poses + (1 if config.estimate_scale else 0)
+        e = jnp.zeros((n, 3), jnp.float32)
         rows = 3 * jnp.asarray(k, jnp.int32) + jnp.arange(3)
         e = e.at[rows, jnp.arange(3)].set(1.0)
         cols = jax.scipy.linalg.cho_solve((L, True), e)

@@ -247,6 +247,7 @@ def merge_pose_graphs(
             st = add_between(
                 st, int(g.f_i[f]) + off, int(g.f_j[f]) + off, g.f_z[f],
                 g.f_sqrt_info[f], robust=bool(g.f_robust[f]),
+                scaled=bool(g.f_scaled[f]),
             )
     # accepted inter-robot between-factors
     for q in range(len(accept_np)):

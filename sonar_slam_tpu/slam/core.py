@@ -149,6 +149,14 @@ class SlamDims:
     # Deliberate improvement over the reference (which aggregates with
     # optimized poses throughout, slam.py:229-292).
     aggregate_with_dr: bool = False
+    # online DVL-scale calibration: solve a global log-scale variable in the
+    # smoother; odometry factors are marked scale-dependent while sonar
+    # scan-match factors stay metric, so the graph recovers the DVL's
+    # multiplicative velocity bias from the data (see
+    # graph/factor_graph.py:GraphConfig.estimate_scale). Framework
+    # capability beyond the reference.
+    estimate_dvl_scale: bool = False
+    dvl_scale_prior_sigma: float = 0.05
     aggregation_extent: float = 2.0  # voxel-grid half-extent, in max_ranges
     point_resolution: float = 0.5  # static: fixes voxel-grid dims at trace time
 
@@ -158,6 +166,8 @@ class SlamDims:
             # room for SSM + fused odometry per keyframe, plus loops
             max_factors=2 * self.max_keyframes + self.max_loops + 4,
             gn_iters=self.gn_iters,
+            estimate_scale=self.estimate_dvl_scale,
+            scale_prior_sigma=self.dvl_scale_prior_sigma,
         )
 
     def agg_spec(self) -> VoxelGridSpec:
@@ -540,6 +550,9 @@ def keyframe_step(
         graph, prev, key, z_factor, sq,
         robust=params.robust_ssm & ssm_ok,
         enabled=(~is_first) & frame.valid,
+        # the DR-fallback measurement scales with the DVL; a successful SSM
+        # measurement is sonar-metric
+        scaled=~ssm_ok,
     )
     # proper-fusion option (divergence from the reference, default off): the
     # reference DISCARDS dead-reckoning odometry whenever scan matching
@@ -551,6 +564,7 @@ def keyframe_step(
         graph, prev, key, dr_odom, sigmas_to_sqrt_info(params.odom_sigmas),
         robust=False,
         enabled=params.fuse_odometry & ssm_ok & (~is_first) & frame.valid,
+        scaled=True,  # dead-reckoning translation scales with the DVL
     )
     value_pose = jnp.where(
         ssm_ok, se2_compose(target_pose, est_tf), init_pose

@@ -1,0 +1,112 @@
+"""Online DVL-scale calibration in the Gauss-Newton smoother.
+
+A global log-scale variable makes the odometry's multiplicative velocity
+bias observable from the (metric) sonar scan-match factors — the framework
+capability identified by the round-2 error budget as the dominant
+full-config ATE term. No reference equivalent.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sonar_slam_tpu.geometry import se2_between
+from sonar_slam_tpu.graph.factor_graph import (
+    GraphConfig,
+    add_between,
+    add_prior,
+    graph_init,
+    optimize,
+    optimize_with_marginal,
+    set_pose_estimate,
+    sigmas_to_sqrt_info,
+)
+
+TRUE_SCALE = 1.02  # DVL reads 2% long
+
+
+def _build_graph(estimate_scale, n=12, metric_every=1, seed=0):
+    """Chain of poses on an arc; odometry measurements scaled by TRUE_SCALE
+    (scaled=True), exact metric between-factors every `metric_every` steps
+    (scaled=False, the SSM analog)."""
+    rng = np.random.default_rng(seed)
+    th = np.linspace(0, 1.2, n)
+    truth = np.stack([10 * np.sin(th), 10 * (1 - np.cos(th)), th],
+                     -1).astype(np.float32)
+    cfg = GraphConfig(max_poses=n, max_factors=3 * n, gn_iters=12,
+                      estimate_scale=estimate_scale, scale_prior_sigma=0.1)
+    g = graph_init(cfg)
+    g = add_prior(g, truth[0], sigmas_to_sqrt_info([0.01, 0.01, 0.001]))
+    for k in range(n):
+        # initialize values from the SCALED odometry chain (what DR gives)
+        g = set_pose_estimate(g, k, truth[k] * np.array([TRUE_SCALE,
+                                                         TRUE_SCALE, 1.0]))
+    for k in range(n - 1):
+        z = np.asarray(se2_between(jnp.asarray(truth[k]),
+                                   jnp.asarray(truth[k + 1])))
+        z_odo = z * np.array([TRUE_SCALE, TRUE_SCALE, 1.0], np.float32)
+        g = add_between(g, k, k + 1, jnp.asarray(z_odo),
+                        sigmas_to_sqrt_info([0.02, 0.02, 0.002]), scaled=True)
+        if k % metric_every == 0:
+            z_m = z + rng.normal(scale=0.002, size=3).astype(np.float32)
+            g = add_between(g, k, k + 1, jnp.asarray(z_m),
+                            sigmas_to_sqrt_info([0.02, 0.02, 0.002]))
+    return g, cfg, truth
+
+
+def test_recovers_scale_and_poses():
+    g, cfg, truth = _build_graph(estimate_scale=True)
+    g = optimize(g, cfg)
+    est_scale = float(np.exp(np.asarray(g.log_scale)))
+    # the measurement model is z_eff = exp(log_s) * z_odo with z_odo already
+    # TRUE_SCALE * z; consistency requires exp(log_s) ~= 1 / TRUE_SCALE
+    assert est_scale == pytest.approx(1.0 / TRUE_SCALE, abs=0.004)
+    poses = np.asarray(g.poses)
+    err = np.linalg.norm(poses[:, :2] - truth[:, :2], axis=1)
+    assert err.max() < 0.05, err.max()
+
+
+def test_without_estimation_scale_stays_fixed():
+    g, cfg, truth = _build_graph(estimate_scale=False)
+    g = optimize(g, cfg)
+    assert float(np.asarray(g.log_scale)) == 0.0
+    # poses compromise between the conflicting scaled/metric factors
+    poses = np.asarray(g.poses)
+    err_off = np.linalg.norm(poses[:, :2] - truth[:, :2], axis=1).max()
+    g2, cfg2, _ = _build_graph(estimate_scale=True)
+    g2 = optimize(g2, cfg2)
+    err_on = np.linalg.norm(
+        np.asarray(g2.poses)[:, :2] - truth[:, :2], axis=1).max()
+    assert err_on < err_off  # calibration strictly improves the fit
+
+
+def test_scale_prior_holds_without_metric_factors():
+    """With no metric anchor the scale is unobservable — the prior must keep
+    it near nominal instead of drifting."""
+    n = 8
+    th = np.linspace(0, 0.8, n)
+    truth = np.stack([5 * np.sin(th), 5 * (1 - np.cos(th)), th],
+                     -1).astype(np.float32)
+    cfg = GraphConfig(max_poses=n, max_factors=2 * n, gn_iters=10,
+                      estimate_scale=True, scale_prior_sigma=0.05)
+    g = graph_init(cfg)
+    g = add_prior(g, truth[0], sigmas_to_sqrt_info([0.01, 0.01, 0.001]))
+    for k in range(n):
+        g = set_pose_estimate(g, k, truth[k])
+    for k in range(n - 1):
+        z = np.asarray(se2_between(jnp.asarray(truth[k]),
+                                   jnp.asarray(truth[k + 1])))
+        g = add_between(g, k, k + 1, jnp.asarray(z),
+                        sigmas_to_sqrt_info([0.02, 0.02, 0.002]), scaled=True)
+    g = optimize(g, cfg)
+    assert abs(float(np.asarray(g.log_scale))) < 1e-3
+
+
+def test_marginal_covariance_with_scale_variable():
+    g, cfg, _ = _build_graph(estimate_scale=True)
+    g, cov = optimize_with_marginal(g, 5, cfg)
+    cov = np.asarray(cov)
+    assert cov.shape == (3, 3)
+    assert np.isfinite(cov).all()
+    assert (np.diag(cov) > 0).all()
