@@ -39,24 +39,36 @@ from sonar_slam_tpu.pipeline import ate_rmse, replay
 from sonar_slam_tpu.slam import FeatureConfig, SlamDims, SlamParams
 
 
+_ICP_PROD = ICPConfig(max_iterations=12, min_diff_rot=1e-3,
+                      min_diff_trans=1e-2, point_to_line=True,
+                      outlier_max_dist=0.5)
+
+
 def small_setup():
+    """Production small config (mirrors bench.py --small)."""
     sim = SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0, num_ranges=192,
                     num_bearings=96, loop_radius=10.0, imu_rate=20.0)
     dims = SlamDims(max_keyframes=32, max_points=128, target_capacity=512,
                     nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=128,
-                    max_loops=16, gn_iters=3,
-                    icp=ICPConfig(min_diff_rot=1e-3, min_diff_trans=1e-2))
+                    max_loops=16, gn_iters=3, icp=_ICP_PROD,
+                    nssm_target_window=2, nssm_pair_refine=True,
+                    pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
+                    pair_refine_min_inliers=25)
     return sim, dims, 2.0
 
 
 def full_setup():
+    """Production full config (mirrors bench.py)."""
     sim = SimConfig(duration=480.0, speed=0.5, sonar_rate=5.0, num_ranges=512,
                     num_bearings=256, loop_radius=18.0, imu_rate=50.0)
     dims = SlamDims(max_keyframes=128, max_points=256, target_capacity=1024,
-                    nssm_cov_samples=30, ssm_sobol=64, nssm_sobol=512,
-                    max_loops=32, gn_iters=3,
-                    icp=ICPConfig(max_iterations=24, min_diff_rot=1e-3,
-                                  min_diff_trans=1e-2))
+                    nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=512,
+                    max_loops=32, gn_iters=3, icp=_ICP_PROD,
+                    nssm_target_window=2, nssm_pair_refine=True,
+                    pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
+                    pair_refine_min_inliers=25,
+                    nssm_reinit_after_select=True, aggregate_with_dr=True,
+                    estimate_dvl_scale=True)
     return sim, dims, 3.0
 
 

@@ -48,16 +48,23 @@ from sonar_slam_tpu.geometry import pose3_to_pose2
 
 
 def setups(full: bool):
+    """Production configs (kept in sync with bench.py)."""
+    icp_prod = ICPConfig(max_iterations=12, min_diff_rot=1e-3,
+                         min_diff_trans=1e-2, point_to_line=True,
+                         outlier_max_dist=0.5)
     if full:
         sim = SimConfig(duration=480.0, speed=0.5, sonar_rate=5.0,
                         num_ranges=512, num_bearings=256, loop_radius=18.0,
                         imu_rate=50.0)
         dims = SlamDims(max_keyframes=128, max_points=256,
-                        target_capacity=1024, nssm_cov_samples=30,
+                        target_capacity=1024, nssm_cov_samples=12,
                         ssm_sobol=64, nssm_sobol=512, max_loops=32,
-                        gn_iters=3,
-                        icp=ICPConfig(max_iterations=24, min_diff_rot=1e-3,
-                                      min_diff_trans=1e-2))
+                        gn_iters=3, icp=icp_prod,
+                        nssm_target_window=2, nssm_pair_refine=True,
+                        pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
+                        pair_refine_min_inliers=25,
+                        nssm_reinit_after_select=True, aggregate_with_dr=True,
+                        estimate_dvl_scale=True)
         kf_t = 3.0
     else:
         sim = SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0,
@@ -65,20 +72,24 @@ def setups(full: bool):
                         imu_rate=20.0)
         dims = SlamDims(max_keyframes=32, max_points=128, target_capacity=512,
                         nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=128,
-                        max_loops=16, gn_iters=3,
-                        icp=ICPConfig(min_diff_rot=1e-3, min_diff_trans=1e-2))
+                        max_loops=16, gn_iters=3, icp=icp_prod,
+                        nssm_target_window=2, nssm_pair_refine=True,
+                        pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
+                        pair_refine_min_inliers=25)
         kf_t = 2.0
     return sim, dims, kf_t
 
 
-def bench_params(dims, kf_t):
+def bench_params(dims, kf_t, full: bool = False):
     return SlamParams.default(dims)._replace(
         keyframe_translation=jnp.float32(kf_t),
         ssm_min_points=jnp.asarray(20, jnp.int32),
-        nssm_min_points=jnp.asarray(20, jnp.int32),
+        nssm_min_points=jnp.asarray(50 if full else 20, jnp.int32),
         fuse_odometry=jnp.asarray(True),
+        use_best_start_tf=jnp.asarray(True),
         odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
-        icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.03], jnp.float32),
+        icp_odom_sigmas=jnp.asarray(
+            [0.2, 0.2, 0.02] if full else [0.3, 0.3, 0.03], jnp.float32),
     )
 
 
@@ -180,7 +191,7 @@ def main():
     sim_clean = replace(sim, dvl_noise=0.0, dvl_scale_bias=0.0,
                         imu_yaw_noise=0.0, imu_yaw_drift=0.0,
                         gyro_noise=0.0)
-    params = bench_params(dims, kf_t)
+    params = bench_params(dims, kf_t, full=args.full)
     fc = FeatureConfig(max_points=dims.max_points)
     rng = np.random.default_rng(123)
     report = {}

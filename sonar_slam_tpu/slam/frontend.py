@@ -294,11 +294,14 @@ class FeatureExtractor:
                 return pts, mask
 
             # SEPARATE small jit units composed with a host-level chunk loop:
-            # one fused jit of (pallas CFAR + 128-wide postprocess) takes the
+            # one fused jit of (pallas CFAR + wide postprocess) takes the
             # remote Mosaic compile service >30 min (it drops the request);
-            # each unit here compiles in minutes and is persistently cached,
-            # at the cost of a few extra dispatches per replay.
-            chunk = 32
+            # each unit here compiles in minutes and is persistently cached.
+            # The chunk is sized to cover a full bench replay (128 keyframe
+            # capacity) in ONE dispatch: each extra dispatch costs >100 ms
+            # of tunnel latency, which at chunk=32 was ~40% of the whole
+            # feature stage.
+            chunk = 128
 
             @jax.jit
             def _detect_batch(imgs):
