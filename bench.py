@@ -13,15 +13,20 @@ met; the absolute x-real-time number is the headline.
 
 Measured work (steady state, post-compile): dead-reckoning scan over all
 sensor ticks + batched CFAR feature extraction over keyframe pings + the full
-fused SLAM scan (SSM + NSSM + PCM + GN smoothing) + the occupancy mapping
-stage (all keyframe submaps built, the full post-loop-closure repaint render,
-and the method-1 export — what `mapping_node.py:91-126` does per replay) —
-i.e. everything the reference's node graph does during
-`slam.launch file:=bag` except rosbag decoding (host-side, one-time,
-excluded in both systems). Per-stage wall times are reported in
-``extra.stages_ms``.
+fused SLAM scan (SSM + NSSM + PCM + GN smoothing) + post-convergence loop
+re-registration (slam/refine.py) + the occupancy mapping stage (all keyframe
+submaps, full post-loop-closure repaint render, method-1 export — what
+`mapping_node.py:91-126` does per replay) — i.e. everything the reference's
+node graph does during `slam.launch file:=bag` except rosbag decoding
+(host-side, one-time, excluded in both systems).
 
-Usage: python bench.py [--cpu] [--small] [--json-only]
+Reported extras (VERDICT r2 #3): xy ATE, heading ATE (deg), loop
+precision/recall vs simulator ground truth, per-axis estimated vs injected
+DVL scale, a reference-faithful parity lane (p2p ICP, radius 3.0, trim 0.8,
+no production divergences), and a dual-sonar z-accuracy line (configs[3]).
+
+Usage: python bench.py [--cpu] [--small] [--json-only] [--seed N]
+                       [--no-parity] [--no-dual] [--stages]
 """
 
 from __future__ import annotations
@@ -35,12 +40,71 @@ import time
 import numpy as np
 
 
+def loop_metrics(carry, truth_kf, min_st_sep, prox_radius, correct_tol=0.30):
+    """Loop-closure precision/recall against simulator ground truth.
+
+    * precision: fraction of logged loops whose measured transform is within
+      ``correct_tol`` meters (translation) of the true relative pose.
+    * recall: fraction of source keyframes that HAVE a genuine revisit
+      opportunity (an eligible >= min_st_sep-older keyframe within
+      ``prox_radius`` true distance) and participate in >= 1 logged loop.
+    The reference's NSSM search intent covers all revisits
+    (`/root/reference/bruce_slam/src/bruce_slam/slam.py:839-1001`) but
+    nothing there measures how many it converts — the simulator's truth
+    makes both exact.
+    """
+    import jax.numpy as jnp
+    from sonar_slam_tpu.geometry import se2_between
+
+    nk = int(carry.num_kf)
+    nl = min(int(carry.num_loops), carry.loops_i.shape[0])
+    li = np.asarray(carry.loops_i)[:nl]
+    lj = np.asarray(carry.loops_j)[:nl]
+    ltf = np.asarray(carry.loops_tf)[:nl]
+    errs = []
+    for a, b, z in zip(li, lj, ltf):
+        tz = np.asarray(
+            se2_between(jnp.asarray(truth_kf[a]), jnp.asarray(truth_kf[b]))
+        )
+        errs.append(float(np.linalg.norm(z[:2] - tz[:2])))
+    errs = np.asarray(errs)
+    correct = errs < correct_tol if nl else np.zeros(0, bool)
+
+    xy = truth_kf[:nk, :2]
+    d = np.linalg.norm(xy[:, None, :] - xy[None, :, :], axis=-1)
+    i_idx = np.arange(nk)
+    opp = ((i_idx[None, :] - i_idx[:, None]) >= min_st_sep) & (
+        d < prox_radius
+    )
+    opp_j = opp.any(axis=0)  # source keyframes with a revisit opportunity
+    det_j = np.zeros(nk, bool)
+    det_j[lj[lj < nk]] = True
+    n_opp = int(opp_j.sum())
+    return {
+        "precision": round(float(correct.mean()), 3) if nl else None,
+        "recall": round(float((det_j & opp_j).sum() / max(n_opp, 1)), 3),
+        "opportunities": n_opp,
+        "loops": nl,
+        "loop_err_median_cm": round(float(np.median(errs)) * 100, 2)
+        if nl else None,
+        "loop_err_p90_cm": round(float(np.percentile(errs, 90)) * 100, 2)
+        if nl else None,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     ap.add_argument("--small", action="store_true", help="small fast config")
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the reference-faithful parity lane")
+    ap.add_argument("--no-dual", action="store_true",
+                    help="skip the dual-sonar z-accuracy line")
+    ap.add_argument("--stages", action="store_true",
+                    help="also run a per-stage (blocking) diagnostic repeat")
     args = ap.parse_args()
 
     import jax
@@ -63,13 +127,15 @@ def main() -> None:
         match_pings_to_ticks,
     )
     from sonar_slam_tpu.io.simulate import SimConfig, simulate_bag
-    from sonar_slam_tpu.pipeline import ate_rmse
+    from sonar_slam_tpu.pipeline import ate_heading_deg, ate_rmse
     from sonar_slam_tpu.slam import (
         FeatureConfig,
         FeatureExtractor,
         KeyframeInput,
+        RefineParams,
         SlamDims,
         SlamParams,
+        refine_loops,
         select_keyframes,
         slam_scan,
     )
@@ -81,42 +147,47 @@ def main() -> None:
     # production ICP configuration (docs/ACCURACY.md): point-to-line
     # minimizer, tight correspondence gate, 12 iterations (p2l converges in
     # about half of p2p's), windowed NSSM targets + single-frame pairwise
-    # loop refinement, best-start transform selection. Measured vs the
-    # round-1 reference-faithful settings: half the per-keyframe cost and
-    # better loop-transform accuracy.
+    # loop refinement, best-start transform selection, and (round 3) sparse
+    # in-scan loop-search cadence + post-convergence loop re-registration
+    # with the proximity sweep (slam/refine.py) recovering recall and
+    # measurement quality after the graph converges.
     icp_prod = ICPConfig(max_iterations=12, min_diff_rot=1e-3,
                          min_diff_trans=1e-2, point_to_line=True,
                          outlier_max_dist=0.5)
     if args.small:
         sim = SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0,
                         num_ranges=192, num_bearings=96, loop_radius=10.0,
-                        imu_rate=20.0)
+                        imu_rate=20.0, seed=args.seed)
         dims = SlamDims(max_keyframes=32, max_points=128, target_capacity=512,
                         nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=128,
-                        max_loops=16, gn_iters=3, icp=icp_prod,
-                        nssm_target_window=2, nssm_pair_refine=True,
-                        pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
-                        pair_refine_min_inliers=25)
-        # (reinit-after-select and DR-relative aggregation help only on
-        #  multi-circuit surveys with accumulated drift — the full config;
-        #  measured counterproductive on this short single-arc one)
-        kf_translation = 2.0
-    else:
-        sim = SimConfig(duration=480.0, speed=0.5, sonar_rate=5.0,
-                        num_ranges=512, num_bearings=256, loop_radius=18.0,
-                        imu_rate=50.0)
-        dims = SlamDims(max_keyframes=128, max_points=256, target_capacity=1024,
-                        nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=512,
                         max_loops=32, gn_iters=3, icp=icp_prod,
                         nssm_target_window=2, nssm_pair_refine=True,
                         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
                         pair_refine_min_inliers=25,
+                        refine_iters=2, refine_sweep=True)
+        # (reinit-after-select and DR-relative aggregation help only on
+        #  multi-circuit surveys with accumulated drift — the full config;
+        #  measured counterproductive on this short single-arc one)
+        kf_translation = 2.0
+        nssm_every = 1
+    else:
+        sim = SimConfig(duration=480.0, speed=0.5, sonar_rate=5.0,
+                        num_ranges=512, num_bearings=256, loop_radius=18.0,
+                        imu_rate=50.0, seed=args.seed)
+        dims = SlamDims(max_keyframes=128, max_points=256, target_capacity=1024,
+                        nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=512,
+                        max_loops=64, gn_iters=3, icp=icp_prod,
+                        nssm_target_window=2, nssm_pair_refine=True,
+                        pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
+                        pair_refine_min_inliers=25,
                         nssm_reinit_after_select=True, aggregate_with_dr=True,
-                        estimate_dvl_scale=True, dvl_scale_prior_sigma=0.05)
+                        estimate_dvl_scale=True, dvl_scale_prior_sigma=0.05,
+                        refine_iters=2, refine_sweep=True)
         # (reinit / DR-relative aggregation / online DVL-scale calibration
         #  are multi-circuit-drift features; measured counterproductive on
         #  the short single-arc small config)
         kf_translation = 3.0
+        nssm_every = 2  # refine.py recovers the sparser search's recall
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()
@@ -133,6 +204,7 @@ def main() -> None:
         nssm_min_points=jnp.asarray(20 if args.small else 50, jnp.int32),
         fuse_odometry=jnp.asarray(True),
         use_best_start_tf=jnp.asarray(True),
+        nssm_every=jnp.asarray(nssm_every, jnp.int32),
         odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
         # covariance floor scales with the sonar's per-point noise: the
         # small config's 15.6 cm range bins make loop transforms ~2x
@@ -141,6 +213,7 @@ def main() -> None:
             [0.3, 0.3, 0.03] if args.small else [0.2, 0.2, 0.02],
             jnp.float32),
     )
+    rparams = RefineParams.default()
     feature_config = FeatureConfig(max_points=dims.max_points)
     dr_config = DRConfig(roll_offset=0.0)
 
@@ -156,10 +229,12 @@ def main() -> None:
     ping_images = jnp.asarray(bag.ping_images)
     extractor = FeatureExtractor(feature_config, bag.geometry)
 
-    # Two fused device programs: the tunneled remote device adds >100 ms per
-    # dispatch, so the pipeline is exactly (1) DR + keyframe gate, (2) gather
-    # + CFAR + SLAM scan, with one tiny host round-trip for the data-
-    # dependent keyframe indices in between.
+    # Fused device programs: the tunneled remote device adds >100 ms per
+    # dispatch, so the pipeline is (1) DR + keyframe gate, then — after one
+    # tiny host round-trip for the data-dependent keyframe indices —
+    # features, the SLAM scan, loop refinement, and mapping dispatched
+    # back-to-back WITHOUT intermediate blocking (async dispatch overlaps
+    # the tunnel latency; the wall clock blocks once at the end).
     ping_time_dev = jnp.asarray(bag.ping_time, jnp.float32)
     sync_dev = jnp.asarray(sync_ok)
 
@@ -223,22 +298,38 @@ def main() -> None:
         stage_ms[name] = stage_ms.get(name, 0.0) + (time.time() - t) * 1e3
         return out
 
-    def device_pipeline():
-        stage_ms.clear()
-        kf_mask, ping_dr3 = timed("dr_gate", stage1)
+    def host_select(kf_mask):
         kf_idx = np.nonzero(np.asarray(kf_mask))[0]
         K = dims.max_keyframes
         kf_idx = kf_idx[:K]
         valid = np.zeros(K, bool)
         valid[: len(kf_idx)] = True
         sel = np.concatenate([kf_idx, np.zeros(K - len(kf_idx), np.int64)])
-        sel_d, valid_d = jnp.asarray(sel), jnp.asarray(valid)
-        pts, masks = timed("features", extractor.extract_batch,
-                           ping_images[sel_d])
-        carry, outputs = timed("slam_scan", stage2b, sel_d, valid_d,
-                               ping_dr3, pts, masks)
-        occ = timed("mapping", stage3_mapping, carry.poses, carry.points,
-                    carry.pmasks, valid_d)
+        return kf_idx, jnp.asarray(sel), jnp.asarray(valid)
+
+    def device_pipeline(diagnostic=False):
+        if diagnostic:
+            stage_ms.clear()
+            kf_mask, ping_dr3 = timed("dr_gate", stage1)
+            kf_idx, sel_d, valid_d = host_select(kf_mask)
+            pts, masks = timed("features", extractor.extract_batch,
+                               ping_images[sel_d])
+            carry, outputs = timed("slam_scan", stage2b, sel_d, valid_d,
+                                   ping_dr3, pts, masks)
+            carry = timed("refine", refine_loops, carry, params, rparams,
+                          dims)
+            occ = timed("mapping", stage3_mapping, carry.poses, carry.points,
+                        carry.pmasks, valid_d)
+        else:
+            kf_mask, ping_dr3 = stage1()
+            jax.block_until_ready(kf_mask)  # host needs the indices
+            kf_idx, sel_d, valid_d = host_select(kf_mask)
+            pts, masks = extractor.extract_batch(ping_images[sel_d])
+            carry, outputs = stage2b(sel_d, valid_d, ping_dr3, pts, masks)
+            carry = refine_loops(carry, params, rparams, dims)
+            occ = stage3_mapping(carry.poses, carry.points, carry.pmasks,
+                                 valid_d)
+            jax.block_until_ready((carry.poses, occ))
         return carry, kf_idx, occ
 
     # the remote compile service in this environment sporadically drops
@@ -262,35 +353,184 @@ def main() -> None:
         carry, kf_idx, occ = device_pipeline()
         times.append(time.time() - t0)
     wall = float(np.median(times))
+    if args.stages:
+        device_pipeline(diagnostic=True)  # per-stage blocking breakdown
     occupied = int(np.sum(np.asarray(occ) > 55))
 
     nk = int(carry.num_kf)
     truth = bag.true_pose_at_ping[kf_idx][:nk]
     ate = ate_rmse(np.asarray(carry.poses[:nk]), truth)
+    hdg = ate_heading_deg(np.asarray(carry.poses[:nk]), truth)
+    lm = loop_metrics(carry, truth, dims.nssm_min_st_sep,
+                      prox_radius=0.5 * dims.max_range)
     xrt = sim.duration / wall
     steps_per_sec = nk / wall
     log(f"keyframes: {nk}, loops: {int(carry.num_loops)}, wall: {wall:.3f}s, "
         f"{xrt:.1f}x real-time, {steps_per_sec:.1f} SLAM steps/s, "
-        f"ATE {ate*100:.1f} cm")
+        f"ATE {ate*100:.1f} cm / {hdg:.3f} deg, loop metrics {lm}")
+
+    # estimated DVL scale: exp(log_scale) is the per-axis CORRECTION factor,
+    # so the estimated sensor bias is its inverse; the simulator injected
+    # bag.true_dvl_scale (x, y, z)
+    est_corr = np.exp(np.asarray(carry.graph.log_scale))
+    est_bias = (1.0 / est_corr).tolist()
+    true_bias = (
+        np.asarray(bag.true_dvl_scale)[:2].tolist()
+        if bag.true_dvl_scale is not None else None
+    )
+
+    extras = {
+        "slam_steps_per_sec": round(steps_per_sec, 2),
+        "keyframes": nk,
+        "loops": int(carry.num_loops),
+        "ate_m": round(ate, 4),
+        "ate_heading_deg": round(hdg, 4),
+        "loop_metrics": lm,
+        "wall_s": round(wall, 3),
+        "compile_s": round(compile_s, 1),
+        "platform": jax.devices()[0].platform,
+        "stages_ms": {k: round(v, 1) for k, v in stage_ms.items()},
+        "map_occupied_cells": occupied,
+        "est_dvl_scale_xy": [round(v, 5) for v in est_bias],
+        "true_dvl_scale_xy": [round(v, 5) for v in true_bias]
+        if true_bias else None,
+        "seed": args.seed,
+    }
+
+    # ---- reference-faithful parity lane (VERDICT r2 weak #3) -------------
+    # p2p ICP, correspondence radius 3.0, trim 0.8, 40 iterations, 30
+    # covariance starts, NSSM every keyframe, no windowed targets / pair
+    # refinement / reinit / DR aggregation / best-start / odometry fusion /
+    # scale calibration / post-refinement — the reference's own semantics
+    # (config/icp.yaml + slam.py:718-837,1003-1132) on the same bag.
+    if not args.no_parity:
+        try:
+            pdims = SlamDims(
+                max_keyframes=dims.max_keyframes, max_points=dims.max_points,
+                target_capacity=dims.target_capacity,
+                nssm_cov_samples=30, ssm_sobol=64,
+                nssm_sobol=dims.nssm_sobol,
+                max_loops=dims.max_loops, gn_iters=3, icp=ICPConfig(),
+            )
+            pparams = SlamParams.default(pdims)._replace(
+                keyframe_translation=jnp.float32(kf_translation),
+                ssm_min_points=params.ssm_min_points,
+                nssm_min_points=params.nssm_min_points,
+                odom_sigmas=params.odom_sigmas,
+                icp_odom_sigmas=params.icp_odom_sigmas,
+            )
+
+            @jax.jit
+            def parity_scan(sel, valid, ping_dr3, pts, masks):
+                frames = KeyframeInput(
+                    time=ping_time_dev[sel], dr_pose3=ping_dr3[sel],
+                    points=pts, pmask=masks & valid[:, None], valid=valid,
+                )
+                return slam_scan(frames, pparams, pdims)
+
+            def parity_pipeline():
+                kf_mask, ping_dr3 = stage1()
+                jax.block_until_ready(kf_mask)
+                kf_idx_p, sel_d, valid_d = host_select(kf_mask)
+                pts, masks = extractor.extract_batch(ping_images[sel_d])
+                pcarry, _ = parity_scan(sel_d, valid_d, ping_dr3, pts, masks)
+                jax.block_until_ready(pcarry.poses)
+                return pcarry, kf_idx_p
+
+            t0 = time.time()
+            pcarry, kf_idx_p = parity_pipeline()
+            parity_compile = time.time() - t0
+            t0 = time.time()
+            pcarry, kf_idx_p = parity_pipeline()
+            pwall = time.time() - t0
+            pnk = int(pcarry.num_kf)
+            ptruth = bag.true_pose_at_ping[kf_idx_p][:pnk]
+            extras["parity"] = {
+                "ate_m": round(
+                    ate_rmse(np.asarray(pcarry.poses[:pnk]), ptruth), 4),
+                "ate_heading_deg": round(ate_heading_deg(
+                    np.asarray(pcarry.poses[:pnk]), ptruth), 4),
+                "loops": int(pcarry.num_loops),
+                "xrealtime": round(sim.duration / pwall, 1),
+                "wall_s": round(pwall, 3),
+                "compile_s": round(parity_compile, 1),
+            }
+            log(f"parity lane: {extras['parity']}")
+        except Exception as e:  # noqa: BLE001 — parity must not kill bench
+            log(f"parity lane failed: {e}")
+            extras["parity"] = {"error": str(e)[:200]}
+
+    # ---- dual-sonar z-accuracy line (BASELINE configs[3]) ----------------
+    # always at the small scale: the z metric is resolution-, not duration-,
+    # limited, and the vertical render doubles bag simulation cost
+    if not args.no_dual:
+        try:
+            from sonar_slam_tpu.io.simulate import seafloor_z
+            from sonar_slam_tpu.pipeline import replay as _replay
+            from sonar_slam_tpu.geometry import se2_transform_points
+
+            dsim = SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0,
+                             num_ranges=192, num_bearings=96,
+                             loop_radius=10.0, imu_rate=20.0,
+                             vertical_sonar=True, seed=args.seed)
+            dbag = simulate_bag(dsim)
+            ddims = SlamDims(
+                max_keyframes=32, max_points=128, target_capacity=512,
+                nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=128,
+                max_loops=32, gn_iters=3, icp=icp_prod,
+                nssm_target_window=2, nssm_pair_refine=True,
+                pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
+                pair_refine_min_inliers=25,
+                refine_iters=2, refine_sweep=True)
+            dparams = SlamParams.default(ddims)._replace(
+                keyframe_translation=jnp.float32(2.0),
+                ssm_min_points=jnp.asarray(20, jnp.int32),
+                nssm_min_points=jnp.asarray(20, jnp.int32),
+                fuse_odometry=jnp.asarray(True),
+                use_best_start_tf=jnp.asarray(True),
+                odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
+                icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.03], jnp.float32),
+            )
+            t0 = time.time()
+            dres = _replay(dbag, FeatureConfig(max_points=128), dparams,
+                           ddims, use_vertical=True)
+            dwall = time.time() - t0
+            t0 = time.time()
+            dres = _replay(dbag, FeatureConfig(max_points=128), dparams,
+                           ddims, use_vertical=True)
+            dwall = time.time() - t0
+            nkd = dres.num_keyframes
+            zerrs = []
+            for k in range(nkd):
+                m = dres.points3d_mask[k]
+                pts3 = dres.points3d[k][m]
+                if not len(pts3):
+                    continue
+                gxy = np.asarray(se2_transform_points(
+                    jnp.asarray(pts3[:, :2]),
+                    jnp.asarray(dres.trajectory[k])))
+                have_z = pts3[:, 2] > 0.1  # points with vertical evidence
+                if have_z.any():
+                    ztrue = seafloor_z(dsim, gxy[have_z, 0], gxy[have_z, 1])
+                    zerrs.append(pts3[have_z, 2] - ztrue)
+            zerr = np.concatenate(zerrs) if zerrs else np.zeros(1)
+            extras["dual_sonar"] = {
+                "z_rmse_m": round(float(np.sqrt(np.mean(zerr**2))), 4),
+                "z_points": int(sum(len(z) for z in zerrs)),
+                "wall_s": round(dwall, 3),
+                "xrealtime": round(dsim.duration / dwall, 1),
+            }
+            log(f"dual-sonar lane: {extras['dual_sonar']}")
+        except Exception as e:  # noqa: BLE001
+            log(f"dual-sonar lane failed: {e}")
+            extras["dual_sonar"] = {"error": str(e)[:200]}
 
     print(json.dumps({
         "metric": "slam_replay_xrealtime",
         "value": round(xrt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 100.0, 3),
-        "extra": {
-            "slam_steps_per_sec": round(steps_per_sec, 2),
-            "keyframes": nk,
-            "loops": int(carry.num_loops),
-            "ate_m": round(ate, 4),
-            "wall_s": round(wall, 3),
-            "compile_s": round(compile_s, 1),
-            "platform": jax.devices()[0].platform,
-            "stages_ms": {k: round(v, 1) for k, v in stage_ms.items()},
-            "map_occupied_cells": occupied,
-            "est_dvl_scale": round(
-                float(np.exp(np.asarray(carry.graph.log_scale))), 5),
-        },
+        "extra": extras,
     }))
 
 

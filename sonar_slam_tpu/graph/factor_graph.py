@@ -42,15 +42,20 @@ class GraphConfig(NamedTuple):
     gn_iters: int = 6  # max relinearization sweeps per update
     damping: float = 1e-9  # tiny LM damping for numerical safety
     convergence_tol: float = 1e-5  # early exit when max |delta| drops below
-    # online sensor-scale calibration: solve one extra global variable
-    # log_scale such that factors flagged `scaled` (odometry) measure
-    # exp(log_scale) * true translation, while unflagged factors (sonar
-    # scan matching — metric by physics) anchor the scale. The classic
-    # DVL-scale-bias shape error becomes observable from the loop/SSM
-    # factors. No reference equivalent (GTSAM could, the reference
-    # doesn't); a framework capability beyond parity.
+    # online sensor-scale calibration: solve two extra global variables
+    # log_scale = (log_sx, log_sy), one per body axis (the DVL's beam
+    # geometry biases each velocity axis independently). Factors flagged
+    # `scaled` (odometry) have their measured translation CORRECTED as
+    # z_eff = (z_x * exp(log_sx), z_y * exp(log_sy)) inside the residual,
+    # while unflagged factors (sonar scan matching — metric by physics)
+    # anchor the scale. So exp(log_scale) is the correction factor: for a
+    # DVL with multiplicative bias s (measures s * true velocity) the
+    # solver recovers exp(log_scale) ~= 1/s. The classic DVL-scale-bias
+    # shape error becomes observable from the loop/SSM factors. No
+    # reference equivalent (GTSAM could, the reference doesn't); a
+    # framework capability beyond parity.
     estimate_scale: bool = False
-    scale_prior_sigma: float = 0.05  # prior on log_scale (~5% 1-sigma)
+    scale_prior_sigma: float = 0.05  # prior on each log_scale (~5% 1-sigma)
 
 
 class GraphState(NamedTuple):
@@ -63,9 +68,9 @@ class GraphState(NamedTuple):
     f_z: jax.Array  # (F, 3) measurement xi->xj
     f_sqrt_info: jax.Array  # (F, 3, 3) whitening matrices
     f_robust: jax.Array  # (F,) bool Cauchy flag
-    f_scaled: jax.Array  # (F,) bool: measurement scales with exp(log_scale)
+    f_scaled: jax.Array  # (F,) bool: measurement corrected by exp(log_scale)
     num_factors: jax.Array  # int32
-    log_scale: jax.Array  # scalar: estimated log sensor scale (0 = nominal)
+    log_scale: jax.Array  # (2,) per-axis log correction (0 = nominal)
 
 
 def sigmas_to_sqrt_info(sigmas) -> jax.Array:
@@ -98,7 +103,7 @@ def graph_init(config: GraphConfig) -> GraphState:
         f_robust=jnp.zeros((F,), bool),
         f_scaled=jnp.zeros((F,), bool),
         num_factors=jnp.asarray(0, jnp.int32),
-        log_scale=jnp.asarray(0.0, jnp.float32),
+        log_scale=jnp.zeros(2, jnp.float32),
     )
 
 
@@ -187,30 +192,30 @@ def _factor_linearization(xi, xj, z, sqrt_info, robust):
 def _factor_linearization_scaled(xi, xj, z, sqrt_info, robust, scaled,
                                  log_scale):
     """Like _factor_linearization but with the measurement's translation
-    scaled by exp(log_scale + ds) for `scaled` factors; returns the extra
-    Jacobian column wrt the scale variable."""
+    corrected per-axis by exp(log_scale + ds) for `scaled` factors; returns
+    the extra (3, 2) Jacobian block wrt the two scale variables."""
 
     def f(delta):
-        di, dj, ds = delta[:3], delta[3:6], delta[6]
-        s = jnp.where(scaled, jnp.exp(log_scale + ds), 1.0)
-        z_eff = jnp.asarray([z[0] * s, z[1] * s, z[2]])
+        di, dj, ds = delta[:3], delta[3:6], delta[6:8]
+        s = jnp.where(scaled, jnp.exp(log_scale + ds), jnp.ones(2))
+        z_eff = jnp.asarray([z[0] * s[0], z[1] * s[1], z[2]])
         return _between_residual(
             se2_retract(xi, di), se2_retract(xj, dj), z_eff, sqrt_info
         )
 
-    r = f(jnp.zeros(7))
-    J = jax.jacfwd(f)(jnp.zeros(7))
+    r = f(jnp.zeros(8))
+    J = jax.jacfwd(f)(jnp.zeros(8))
     w = jnp.where(robust, 1.0 / (1.0 + jnp.sum(r * r)), 1.0)
     sw = jnp.sqrt(w)
-    return sw * r, sw * J[:, :3], sw * J[:, 3:6], sw * J[:, 6]
+    return sw * r, sw * J[:, :3], sw * J[:, 3:6], sw * J[:, 6:8]
 
 
 def _assemble_normal_equations(state: GraphState, config: GraphConfig):
     """Build the Gauss-Newton normal equations at the current estimates.
 
     Without scale estimation: H (3K, 3K), b (3K). With
-    ``config.estimate_scale``: H (3K+1, 3K+1), b (3K+1) — the last
-    row/column belongs to the global log_scale variable."""
+    ``config.estimate_scale``: H (3K+2, 3K+2), b (3K+2) — the last two
+    rows/columns belong to the global per-axis log_scale variables."""
     K = config.max_poses
     F = state.f_i.shape[0]
     active = jnp.arange(F) < state.num_factors
@@ -232,7 +237,7 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
     Ji = Ji * m[..., None]
     Jj = Jj * m[..., None]
 
-    n = 3 * K + (1 if config.estimate_scale else 0)
+    n = 3 * K + (2 if config.estimate_scale else 0)
     H = jnp.zeros((n, n), jnp.float32)
     b = jnp.zeros((n,), jnp.float32)
 
@@ -253,20 +258,23 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
     b = b.at[jj].add(jnp.einsum("fab,fa->fb", Jj, r, precision=hp))
 
     if config.estimate_scale:
-        Js = Js * m  # (F, 3)
+        Js = Js * m[..., None]  # (F, 3, 2)
         s = 3 * K
-        crossi = jnp.einsum("fab,fa->fb", Ji, Js, precision=hp)  # (F, 3)
-        crossj = jnp.einsum("fab,fa->fb", Jj, Js, precision=hp)
-        H = H.at[ii, s].add(crossi)
-        H = H.at[s, ii].add(crossi)
-        H = H.at[jj, s].add(crossj)
-        H = H.at[s, jj].add(crossj)
-        H = H.at[s, s].add(jnp.sum(Js * Js))
-        b = b.at[s].add(jnp.sum(Js * r))
-        # prior on log_scale: (log_scale + ds - 0)^2 / sigma^2
+        srange = s + jnp.arange(2)
+        crossi = jnp.einsum("fab,fas->fbs", Ji, Js, precision=hp)  # (F, 3, 2)
+        crossj = jnp.einsum("fab,fas->fbs", Jj, Js, precision=hp)
+        H = H.at[ii[:, :, None], srange[None, None, :]].add(crossi)
+        H = H.at[srange[None, None, :], ii[:, :, None]].add(crossi)
+        H = H.at[jj[:, :, None], srange[None, None, :]].add(crossj)
+        H = H.at[srange[None, None, :], jj[:, :, None]].add(crossj)
+        H = H.at[srange[:, None], srange[None, :]].add(
+            jnp.einsum("fas,fat->st", Js, Js, precision=hp)
+        )
+        b = b.at[srange].add(jnp.einsum("fas,fa->s", Js, r, precision=hp))
+        # prior on each log_scale: (log_scale + ds - 0)^2 / sigma^2
         w_s = 1.0 / config.scale_prior_sigma**2
-        H = H.at[s, s].add(w_s)
-        b = b.at[s].add(w_s * state.log_scale)
+        H = H.at[srange, srange].add(w_s)
+        b = b.at[srange].add(w_s * state.log_scale)
 
     # prior factor on X(0)
     def fprior(d):
@@ -282,7 +290,7 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
     # gauge/padding regularization: identity on invalid pose blocks
     valid = jnp.repeat(jnp.arange(K) < state.num_poses, 3)
     if config.estimate_scale:
-        valid = jnp.concatenate([valid, jnp.asarray([True])])
+        valid = jnp.concatenate([valid, jnp.asarray([True, True])])
     H = H + jnp.diag(jnp.where(valid, config.damping, 1.0))
     return H, b
 
@@ -309,16 +317,17 @@ def optimize(state: GraphState, config: GraphConfig) -> GraphState:
         L = jnp.linalg.cholesky(H)
         delta = -jax.scipy.linalg.cho_solve((L, True), b)
         if config.estimate_scale:
-            ds = delta[3 * K]
+            ds = delta[3 * K : 3 * K + 2]
             log_scale = log_scale + ds
             delta = delta[: 3 * K]
+            max_ds = jnp.max(jnp.abs(ds))
         else:
-            ds = 0.0
+            max_ds = 0.0
         delta = delta.reshape(K, 3)
         valid = (jnp.arange(K) < state.num_poses)[:, None]
         new_poses = jnp.where(valid, jax.vmap(se2_retract)(poses, delta), poses)
         max_delta = jnp.maximum(
-            jnp.max(jnp.abs(jnp.where(valid, delta, 0.0))), jnp.abs(ds)
+            jnp.max(jnp.abs(jnp.where(valid, delta, 0.0))), max_ds
         )
         return new_poses, log_scale, it + 1, max_delta
 
@@ -344,7 +353,7 @@ def optimize_with_marginal(state: GraphState, k, config: GraphConfig):
         state = optimize(state, config)
         H, _ = _assemble_normal_equations(state, config)
         L = jnp.linalg.cholesky(H)
-        n = 3 * K + (1 if config.estimate_scale else 0)
+        n = 3 * K + (2 if config.estimate_scale else 0)
         e = jnp.zeros((n, 3), jnp.float32)
         rows = 3 * jnp.asarray(k, jnp.int32) + jnp.arange(3)
         e = e.at[rows, jnp.arange(3)].set(1.0)

@@ -145,6 +145,10 @@ def decompress_block(src: bytes, max_out: int | None = None) -> bytes:
                 lit += b
                 if b != 255:
                     break
+        if i + lit > n:
+            raise ValueError("corrupt LZ4 block: literal run past input end")
+        if max_out is not None and len(out) + lit > max_out:
+            raise ValueError("corrupt LZ4 block: output exceeds declared size")
         out += src[i : i + lit]
         i += lit
         if i >= n:
@@ -164,6 +168,8 @@ def decompress_block(src: bytes, max_out: int | None = None) -> bytes:
         start = len(out) - offset
         if start < 0:
             raise ValueError("corrupt LZ4 block: offset beyond output")
+        if max_out is not None and len(out) + ml > max_out:
+            raise ValueError("corrupt LZ4 block: output exceeds declared size")
         if offset >= ml:
             out += out[start : start + ml]
         else:

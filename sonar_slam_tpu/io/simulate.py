@@ -48,6 +48,12 @@ class SimConfig:
     imu_yaw_drift: float = 0.00005  # rad/s random-walk yaw bias (heading drift)
     wall_point_spacing: float = 0.25
     seed: int = 0
+    # constant crab (sideslip) angle between heading and track tangent —
+    # gives the DVL a persistent lateral velocity component so its y-axis
+    # scale bias is observable (see _trajectory). Measured: 4 deg leaves
+    # accuracy unchanged (5.7 vs 6.4 cm small-config ATE); 8 deg degrades
+    # revisit co-visibility enough to bias loop registrations.
+    crab_deg: float = 4.0
     # multi-robot support: trajectory phase offset around the survey loop
     # (radians) and an optional separate world seed so two robots with
     # different sensor-noise seeds survey the SAME structure
@@ -88,6 +94,16 @@ class SyntheticBag(NamedTuple):
     # optional FOG stream
     gyro_time: np.ndarray | None = None  # (Tg,)
     gyro_delta: np.ndarray | None = None  # (Tg, 3) delta angles (y, p, r)
+    # injected per-axis DVL multiplicative bias (x, y, z) — ground truth for
+    # the online scale-calibration accuracy metric
+    true_dvl_scale: np.ndarray | None = None  # (3,)
+
+
+def seafloor_z(cfg: SimConfig, x, y):
+    """Ground-truth seafloor height below the vehicle plane at (x, y) — the
+    profile the vertical sonar images (see simulate_bag); the dual-sonar
+    z-accuracy benchmark compares fused 3-D points against it."""
+    return cfg.seafloor_depth + 0.8 * np.sin(0.21 * x) + 0.5 * np.cos(0.17 * y)
 
 
 def _make_world(cfg: SimConfig, rng) -> np.ndarray:
@@ -138,13 +154,18 @@ def _make_world(cfg: SimConfig, rng) -> np.ndarray:
 
 def _trajectory(cfg: SimConfig, t: np.ndarray):
     """Closed loop (slightly squashed circle) traversed at constant speed.
-    Returns (xy (T, 2), yaw (T,), body_vel (T, 3))."""
+    Returns (xy (T, 2), yaw (T,), body_vel (T, 3)).
+
+    The heading holds a constant crab (sideslip) angle off the track tangent
+    — real ROV surveys never move purely along body-x (currents, thruster
+    asymmetry), and without lateral body velocity the DVL's y-axis scale
+    bias would be both unobservable and harmless (it multiplies zero)."""
     theta = cfg.phase + (cfg.speed / cfg.loop_radius) * t
     x = cfg.loop_radius * np.cos(theta)
     y = cfg.loop_radius * 0.8 * np.sin(theta)
     dx = -cfg.loop_radius * np.sin(theta) * (cfg.speed / cfg.loop_radius)
     dy = cfg.loop_radius * 0.8 * np.cos(theta) * (cfg.speed / cfg.loop_radius)
-    yaw = np.arctan2(dy, dx)
+    yaw = np.arctan2(dy, dx) - np.radians(cfg.crab_deg)
     # body-frame velocity (x fwd, y starboard): world vel rotated by -yaw
     c, s = np.cos(yaw), np.sin(yaw)
     vb_x = c * dx + s * dy
@@ -301,7 +322,7 @@ def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
         )
         # seafloor profile: gentle height variation over (x, y)
         def floor_z(x, y):
-            return cfg.seafloor_depth + 0.8 * np.sin(0.21 * x) + 0.5 * np.cos(0.17 * y)
+            return seafloor_z(cfg, x, y)
 
         vert_imgs = np.stack(
             [
@@ -336,4 +357,5 @@ def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
         true_pose_at_ping=true_poses.astype(np.float32),
         geometry=geom,
         world_points=world,
+        true_dvl_scale=scale_bias[0].astype(np.float32),
     )

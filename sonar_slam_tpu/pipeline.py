@@ -44,6 +44,7 @@ from .slam.core import (
     slam_scan,
 )
 from .slam.frontend import FeatureConfig, FeatureExtractor
+from .slam.refine import RefineParams, refine_loops
 
 
 class ReplayResult(NamedTuple):
@@ -108,6 +109,7 @@ def replay(
     gyro_config: GyroConfig | None = None,
     kalman_config: KalmanConfig | None = None,
     use_vertical: bool = False,  # dual-sonar 3-D fusion (configs[3])
+    refine_params: RefineParams | None = None,
 ) -> ReplayResult:
     # 1) odometry front end
     if frontend == "kalman":
@@ -196,6 +198,15 @@ def replay(
     # 5) the fused SLAM scan
     carry, outputs = slam_scan(frames, params, dims)
 
+    # 5b) post-convergence loop re-registration (slam/refine.py)
+    if dims.refine_iters > 0:
+        carry = refine_loops(
+            carry, params,
+            refine_params if refine_params is not None
+            else RefineParams.default(),
+            dims,
+        )
+
     nk = int(carry.num_kf)
 
     # 6) full-rate pose: compose each ping's DR delta onto its latest
@@ -247,16 +258,36 @@ def replay(
     )
 
 
+def _umeyama_rotation(est: np.ndarray, truth: np.ndarray) -> np.ndarray:
+    """Best SE(2) alignment rotation est->truth (Umeyama, no scale)."""
+    a, b = est[:, :2], truth[:, :2]
+    A, B = a - a.mean(0), b - b.mean(0)
+    U, _, Vt = np.linalg.svd(A.T @ B)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    return Vt.T @ np.diag([1, d]) @ U.T
+
+
 def ate_rmse(est: np.ndarray, truth: np.ndarray, align: bool = True) -> float:
     """Absolute trajectory error (RMSE over xy) after optional SE(2) alignment
     (Umeyama, no scale) — the benchmark metric from BASELINE.md."""
     a, b = est[:, :2], truth[:, :2]
     if align and len(a) >= 2:
-        ca, cb = a.mean(0), b.mean(0)
-        A, B = a - ca, b - cb
-        H = A.T @ B
-        U, _, Vt = np.linalg.svd(H)
-        d = np.sign(np.linalg.det(Vt.T @ U.T))
-        R = Vt.T @ np.diag([1, d]) @ U.T
-        a = (R @ A.T).T + cb
+        R = _umeyama_rotation(est, truth)
+        a = (R @ (a - a.mean(0)).T).T + b.mean(0)
     return float(np.sqrt(np.mean(np.sum((a - b[: len(a)]) ** 2, axis=1))))
+
+
+def ate_heading_deg(
+    est: np.ndarray, truth: np.ndarray, align: bool = True
+) -> float:
+    """Heading component of the absolute trajectory error: RMSE of the
+    wrapped yaw residual (degrees) after the SAME SE(2) alignment as
+    ``ate_rmse``. The north star is "1 cm / 0.5 deg" (BASELINE.md) — the
+    reference exports yaw as a first-class pose-graph state
+    (`/root/reference/bruce_slam/src/bruce_slam/slam.py:165-202`)."""
+    dth = est[:, 2] - truth[: len(est), 2]
+    if align and len(est) >= 2:
+        R = _umeyama_rotation(est, truth)
+        dth = dth + np.arctan2(R[1, 0], R[0, 0])
+    dth = np.arctan2(np.sin(dth), np.cos(dth))
+    return float(np.degrees(np.sqrt(np.mean(dth**2))))

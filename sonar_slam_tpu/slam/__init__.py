@@ -37,3 +37,4 @@ from .core import (
     STATUS_INITIALIZATION_FAILURE,
     STATUS_NAMES,
 )
+from .refine import RefineParams, refine_loops

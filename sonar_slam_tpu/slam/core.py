@@ -157,6 +157,22 @@ class SlamDims:
     # capability beyond the reference.
     estimate_dvl_scale: bool = False
     dvl_scale_prior_sigma: float = 0.05
+    # post-convergence loop refinement (slam/refine.py): after the scan,
+    # re-register every logged loop pair against the CURRENT optimized poses,
+    # replace the factor measurements in place, re-optimize, iterate.
+    # The round-2 error budget measured in-scan loop measurements at ~17 cm
+    # median (seed 0) while the SAME pairs registered in isolation with
+    # final-quality poses achieve ~4.6 cm — this converts that headroom into
+    # ATE. The reference only re-POSES queue entries after optimization
+    # (slam.py:1237-1241), never re-measures; the fixed-capacity graph makes
+    # re-measurement one vmapped ICP batch. refine_iters=0 disables.
+    refine_iters: int = 0
+    refine_target_window: int = 2  # target aggregation half-window (frames)
+    # proximity-gated loop sweep: one single-frame registration per source
+    # keyframe against its nearest eligible target under the refined poses,
+    # inserting PCM-bypassing high-confidence loops the in-scan NSSM search
+    # missed (recall recovery for sparse nssm_every cadences)
+    refine_sweep: bool = False
     aggregation_extent: float = 2.0  # voxel-grid half-extent, in max_ranges
     point_resolution: float = 0.5  # static: fixes voxel-grid dims at trace time
 
@@ -201,6 +217,15 @@ class SlamParams(NamedTuple):
     nssm_max_rotation: jax.Array
     min_pcm: jax.Array
     pcm_queue_size: jax.Array
+    # loop-search cadence: run the NSSM search only on every n-th keyframe
+    # (1 = reference behavior, every keyframe — slam.py:1003). The NSSM is
+    # the long serial dependency chain of the fused scan (~85% of in-scan
+    # device time, docs/STATUS.md); with post-convergence loop
+    # re-registration + the pair sweep (slam/refine.py) recovering recall
+    # and measurement quality after the fact, a sparser in-scan search
+    # trades nothing measurable for a large throughput win. Traced, so
+    # sweeping cadences reuses the compiled executable.
+    nssm_every: jax.Array  # int32
     robust_ssm: jax.Array  # bool: Cauchy-robustify scan-match factors
     fuse_odometry: jax.Array  # bool: keep the DR factor alongside SSM
     # add the Hessian-based (Censi) registration covariance to the
@@ -244,6 +269,7 @@ class SlamParams(NamedTuple):
             nssm_max_rotation=f(np.radians(60)),
             min_pcm=jnp.asarray(2, jnp.int32),
             pcm_queue_size=jnp.asarray(5, jnp.int32),
+            nssm_every=jnp.asarray(1, jnp.int32),
             robust_ssm=jnp.asarray(False),
             fuse_odometry=jnp.asarray(False),
             use_censi_cov=jnp.asarray(False),
@@ -273,10 +299,13 @@ class SlamCarry(NamedTuple):
     q_inserted: jax.Array  # (Q,) bool
     q_used: jax.Array  # (Q,) bool
     q_head: jax.Array  # int32 ring write index
-    # accepted loop-closure log (for constraint export/visualization)
+    # accepted loop-closure log (for constraint export/visualization, and
+    # for post-convergence re-registration: loops_slot records each loop's
+    # factor-table index so refine.py can replace f_z/f_sqrt_info in place)
     loops_i: jax.Array  # (L,) target keys
     loops_j: jax.Array  # (L,) source keys
     loops_tf: jax.Array  # (L, 3) measured transform target->source
+    loops_slot: jax.Array  # (L,) int32 factor index in graph.f_*
     num_loops: jax.Array  # int32
 
 
@@ -320,6 +349,7 @@ def slam_init(dims: SlamDims) -> SlamCarry:
         loops_i=jnp.zeros((L,), jnp.int32),
         loops_j=jnp.zeros((L,), jnp.int32),
         loops_tf=jnp.zeros((L, 3), f),
+        loops_slot=jnp.zeros((L,), jnp.int32),
         num_loops=jnp.asarray(0, jnp.int32),
     )
 
@@ -606,6 +636,7 @@ def keyframe_step(
         params.nssm_enable
         & frame.valid
         & (carry.num_kf >= dims.nssm_min_st_sep)
+        & (key % jnp.maximum(params.nssm_every, 1) == 0)
     )
 
     def run_nssm(c: SlamCarry):
@@ -838,6 +869,7 @@ def keyframe_step(
 
         def insert_one(cc: SlamCarry, qi):
             en = to_insert[qi]
+            fslot = cc.graph.num_factors  # where add_between writes if enabled
             g = add_between(
                 cc.graph,
                 c.q_target[qi],
@@ -859,6 +891,9 @@ def keyframe_step(
                 ),
                 loops_tf=jnp.where(
                     en, cc.loops_tf.at[slot].set(c.q_tf[qi]), cc.loops_tf
+                ),
+                loops_slot=jnp.where(
+                    en, cc.loops_slot.at[slot].set(fslot), cc.loops_slot
                 ),
                 num_loops=cc.num_loops + en.astype(jnp.int32),
                 q_inserted=cc.q_inserted.at[qi].set(

@@ -223,16 +223,18 @@ class FeatureExtractor:
             def peak_delta(axis: int) -> jax.Array:
                 lm = jnp.roll(L, 1, axis=axis)
                 lp = jnp.roll(L, -1, axis=axis)
-                # edge rows/cols: duplicate the edge (zero offset falls out)
-                if axis == 0:
-                    lm = lm.at[0].set(L[0])
-                    lp = lp.at[-1].set(L[-1])
-                else:
-                    lm = lm.at[:, 0].set(L[:, 0])
-                    lp = lp.at[:, -1].set(L[:, -1])
                 num = lm - lp
                 den = lm + lp - 2.0 * L
                 d = jnp.where(den < -1e-6, num / (2.0 * den), 0.0)
+                # boundary rows/cols have no valid 3-point neighborhood —
+                # force zero offset there (duplicating the edge sample would
+                # bias every inward-decreasing boundary peak by -0.5 cells)
+                edge = jnp.zeros(L.shape, bool)
+                if axis == 0:
+                    edge = edge.at[0].set(True).at[-1].set(True)
+                else:
+                    edge = edge.at[:, 0].set(True).at[:, -1].set(True)
+                d = jnp.where(edge, 0.0, d)
                 return jnp.clip(d, -0.5, 0.5).reshape(-1, 1)
 
             return (

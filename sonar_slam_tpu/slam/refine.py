@@ -1,0 +1,272 @@
+"""Post-convergence loop re-registration + proximity loop sweep.
+
+The reference re-POSES its PCM queue entries after each ISAM2 update
+(`/root/reference/bruce_slam/src/bruce_slam/slam.py:1237-1241`) but never
+re-MEASURES a loop: every loop factor keeps the ICP transform measured
+against whatever drifted pose estimates existed when the loop was found.
+The round-2 error budget (docs/ACCURACY.md) measured that gap directly:
+in-scan loop measurements were ~17 cm median (seed 0, full config) while the
+same pairs re-registered in isolation against final-quality poses achieve
+~4.6 cm. This module converts that measured headroom into ATE — a TPU-native
+capability the fixed-capacity graph makes cheap (one vmapped ICP batch +
+one dense GN solve per refinement sweep; no incremental-update bookkeeping
+to invalidate, unlike ISAM2 where changing a factor's measurement would
+force a Bayes-tree re-elimination).
+
+Two mechanisms, iterated:
+
+1. **Re-measurement** (``_remeasure``): every logged loop (i=target,
+   j=source, factor slot recorded by the scan in ``SlamCarry.loops_slot``)
+   is re-registered — windowed submaps aggregated with the CURRENT optimized
+   poses, ICP seeded by the converged relative pose, then the in-scan
+   two-stage single-frame consistency refinement — and the factor's
+   ``f_z``/``f_sqrt_info`` are replaced in place (Censi covariance + the
+   reference's covariance floor). A consistency gate keeps the old
+   measurement when re-registration diverges.
+2. **Proximity sweep** (``_sweep``): for every source keyframe, the nearest
+   eligible (``>= nssm_min_st_sep`` older) target within ``prox_radius`` is
+   registered single-frame from the converged relative pose; confident,
+   consistent fits are inserted as NEW loop factors (and appended to the
+   loop log so subsequent re-measurement sweeps cover them). This recovers
+   the recall an intentionally sparse in-scan search cadence
+   (``SlamParams.nssm_every``) gives up, and catches revisits the NSSM
+   target-selection heuristic missed (reference search intent:
+   `slam.py:839-1001`).
+
+All of it is one jitted program over the scan's own carry pytree; gates are
+traced (``RefineParams``) so tuning never recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cloud import icp
+from ..cloud.icp import censi_covariance
+from ..geometry import se2_between
+from ..graph.factor_graph import cov_to_sqrt_info, optimize
+from .core import SlamCarry, SlamDims, SlamParams, _aggregate_window
+from .scan_matching import apply_covariance_floor, localize_covariance
+
+
+class RefineParams(NamedTuple):
+    """Traced numeric gates for the refinement passes."""
+
+    max_dt: jax.Array  # re-measurement consistency gate vs current guess (m)
+    max_dr: jax.Array  # (rad)
+    min_inliers: jax.Array  # int32: minimum ICP inlier correspondences
+    sweep_max_dt: jax.Array  # sweep acceptance gate vs converged guess (m)
+    sweep_max_dr: jax.Array  # (rad)
+    prox_radius: jax.Array  # sweep pairing radius (m)
+
+    @staticmethod
+    def default() -> "RefineParams":
+        f = jnp.float32
+        return RefineParams(
+            max_dt=f(0.6),
+            max_dr=f(0.12),
+            min_inliers=jnp.asarray(25, jnp.int32),
+            sweep_max_dt=f(0.5),
+            sweep_max_dr=f(0.1),
+            prox_radius=f(20.0),
+        )
+
+
+def _register_pair(
+    carry: SlamCarry,
+    i: jax.Array,  # target key
+    j: jax.Array,  # source key
+    params: SlamParams,
+    rp: RefineParams,
+    dims: SlamDims,
+):
+    """Windowed re-registration of loop (i, j) from the converged guess.
+
+    Returns (ok, z (3,), cov (3,3)): the measured target->source transform in
+    the BetweenFactor convention used by the scan (core.py with_loop).
+    """
+    spec = dims.agg_spec()
+    M = dims.target_capacity
+    K = carry.points.shape[0]
+    si = jnp.clip(i, 0, K - 1)
+    sj = jnp.clip(j, 0, K - 1)
+    guess = se2_between(carry.poses[si], carry.poses[sj])
+
+    # source submap: trailing window ending at j (the in-scan convention)
+    src_pts, src_mask = _aggregate_window(
+        carry, carry.poses[sj], sj - dims.nssm_source_frames + 1,
+        dims.nssm_source_frames, spec, M,
+        ref_key=sj, use_dr_relatives=dims.aggregate_with_dr,
+    )
+    # target submap: centered window around i
+    tw = dims.refine_target_window
+    tgt_pts, tgt_mask = _aggregate_window(
+        carry, carry.poses[si], si - tw, 2 * tw + 1, spec, M,
+        ref_key=si, use_dr_relatives=dims.aggregate_with_dr,
+    )
+
+    res = icp(src_pts, src_mask, tgt_pts, tgt_mask, guess, dims.icp)
+    d = se2_between(guess, res.pose)
+    coarse_ok = (
+        res.ok
+        & (res.inliers >= rp.min_inliers)
+        & (jnp.linalg.norm(d[:2]) <= rp.max_dt)
+        & (jnp.abs(d[2]) <= rp.max_dr)
+    )
+    z, info, mse = res.pose, res.info, res.mse
+
+    # two-stage single-frame consistency refinement (the in-scan
+    # nssm_pair_refine mechanism, applied with converged seeds)
+    rr = icp(
+        carry.points[sj], carry.pmasks[sj],
+        carry.points[si], carry.pmasks[si], z, dims.icp,
+    )
+    dd = se2_between(z, rr.pose)
+    pair_ok = (
+        rr.ok
+        & (jnp.linalg.norm(dd[:2]) <= dims.pair_refine_max_dt)
+        & (jnp.abs(dd[2]) <= dims.pair_refine_max_dr)
+        & (rr.inliers >= dims.pair_refine_min_inliers)
+    )
+    z = jnp.where(pair_ok, rr.pose, z)
+    info = jnp.where(pair_ok, rr.info, info)
+    mse = jnp.where(pair_ok, rr.mse, mse)
+
+    cov = localize_covariance(censi_covariance(info, mse, z), z)
+    cov, _ = apply_covariance_floor(cov, params.icp_odom_sigmas)
+    return coarse_ok, z, cov
+
+
+def _remeasure(carry: SlamCarry, params, rp, dims: SlamDims) -> SlamCarry:
+    """Re-register every logged loop; replace factor measurements in place."""
+    Lcap = dims.max_loops
+    lane = jnp.arange(Lcap)
+    valid = lane < jnp.minimum(carry.num_loops, Lcap)
+
+    ok, z, cov = jax.vmap(
+        lambda i, j: _register_pair(carry, i, j, params, rp, dims)
+    )(carry.loops_i, carry.loops_j)
+    use = ok & valid
+    sq = jax.vmap(cov_to_sqrt_info)(cov)
+
+    g = carry.graph
+    slots = jnp.clip(carry.loops_slot, 0, g.f_z.shape[0] - 1)
+    f_z = g.f_z.at[slots].set(jnp.where(use[:, None], z, g.f_z[slots]))
+    f_sq = g.f_sqrt_info.at[slots].set(
+        jnp.where(use[:, None, None], sq, g.f_sqrt_info[slots])
+    )
+    return carry._replace(
+        graph=g._replace(f_z=f_z, f_sqrt_info=f_sq),
+        loops_tf=jnp.where(use[:, None], z, carry.loops_tf),
+    )
+
+
+def _sweep(carry: SlamCarry, params, rp, dims: SlamDims) -> SlamCarry:
+    """One single-frame registration per source keyframe vs its nearest
+    eligible target; insert confident consistent fits as new loop factors."""
+    K = dims.max_keyframes
+    idx = jnp.arange(K)
+    pos = carry.poses[:, :2]
+    d = jnp.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)  # (i, j)
+
+    # pair (i, j) already constrained by a logged loop?
+    lvalid = jnp.arange(dims.max_loops) < carry.num_loops
+    taken = (
+        jnp.zeros((K, K), jnp.int32)
+        .at[carry.loops_i, carry.loops_j]
+        .add(lvalid.astype(jnp.int32))
+        > 0
+    )
+
+    eligible = (
+        (idx[None, :] - idx[:, None] >= dims.nssm_min_st_sep)  # j older-gap
+        & (idx[None, :] < carry.num_kf)
+        & (idx[:, None] < carry.num_kf)
+        & ~taken
+        & (d <= rp.prox_radius)
+    )
+    score = jnp.where(eligible, d, jnp.inf)
+    tgt_of = jnp.argmin(score, axis=0)  # best target i for each source j
+    has_tgt = jnp.isfinite(jnp.min(score, axis=0))
+
+    def one(j):
+        i = tgt_of[j]
+        guess = se2_between(carry.poses[i], carry.poses[j])
+        rr = icp(
+            carry.points[j], carry.pmasks[j],
+            carry.points[i], carry.pmasks[i], guess, dims.icp,
+        )
+        dd = se2_between(guess, rr.pose)
+        ok = (
+            has_tgt[j]
+            & rr.ok
+            & (rr.inliers >= rp.min_inliers)
+            & (jnp.linalg.norm(dd[:2]) <= rp.sweep_max_dt)
+            & (jnp.abs(dd[2]) <= rp.sweep_max_dr)
+        )
+        cov = localize_covariance(
+            censi_covariance(rr.info, rr.mse, rr.pose), rr.pose
+        )
+        cov, _ = apply_covariance_floor(cov, params.icp_odom_sigmas)
+        return ok, rr.pose, cov
+
+    ok, z, cov = jax.vmap(one)(idx)
+
+    from ..graph.factor_graph import add_between  # local: avoid cycle noise
+
+    def insert_one(c: SlamCarry, j):
+        en = ok[j] & (c.num_loops < dims.max_loops)
+        fslot = c.graph.num_factors
+        g = add_between(
+            c.graph, tgt_of[j], j, z[j], cov_to_sqrt_info(cov[j]),
+            robust=False, enabled=en,
+        )
+        slot = jnp.clip(c.num_loops, 0, dims.max_loops - 1)
+        return c._replace(
+            graph=g,
+            loops_i=jnp.where(en, c.loops_i.at[slot].set(tgt_of[j]), c.loops_i),
+            loops_j=jnp.where(en, c.loops_j.at[slot].set(j), c.loops_j),
+            loops_tf=jnp.where(en, c.loops_tf.at[slot].set(z[j]), c.loops_tf),
+            loops_slot=jnp.where(
+                en, c.loops_slot.at[slot].set(fslot), c.loops_slot
+            ),
+            num_loops=c.num_loops + en.astype(jnp.int32),
+        ), None
+
+    carry, _ = jax.lax.scan(insert_one, carry, idx)
+    return carry
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def refine_loops(
+    carry: SlamCarry,
+    params: SlamParams,
+    rp: RefineParams,
+    dims: SlamDims,
+) -> SlamCarry:
+    """Iterated post-convergence refinement: re-measure -> optimize
+    (-> sweep -> optimize) x ``dims.refine_iters``.
+
+    Returns the refined carry (poses, graph, loop log all updated). No-op
+    when ``dims.refine_iters == 0``.
+    """
+    if dims.refine_iters <= 0:
+        return carry
+    # refinement moves measurements substantially on the first sweep — give
+    # the GN solver more relinearization headroom than the warm-started
+    # in-scan updates need (the convergence tol early-exits when done)
+    gcfg = dims.graph_config()._replace(gn_iters=max(dims.gn_iters, 8))
+
+    def opt(c: SlamCarry) -> SlamCarry:
+        g = optimize(c.graph, gcfg)
+        return c._replace(graph=g, poses=g.poses)
+
+    for it in range(dims.refine_iters):
+        carry = opt(_remeasure(carry, params, rp, dims))
+        if dims.refine_sweep:
+            carry = opt(_sweep(carry, params, rp, dims))
+    return carry

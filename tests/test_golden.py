@@ -62,6 +62,7 @@ def test_golden_trajectory():
     # bit-zero; 5e-4 m absorbs only compiler-level fp reassociation. Anything
     # larger is a behavior change -> regenerate deliberately (docstring).
     np.testing.assert_allclose(
-        res.trajectory, gold["trajectory"], atol=5e-4
-    ), "trajectory drifted from golden — intended? regenerate + explain"
+        res.trajectory, gold["trajectory"], atol=5e-4,
+        err_msg="trajectory drifted from golden — intended? regenerate + explain",
+    )
     assert int(res.carry.num_loops) == int(gold["num_loops"])

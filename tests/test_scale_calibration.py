@@ -26,26 +26,30 @@ from sonar_slam_tpu.graph.factor_graph import (
 TRUE_SCALE = 1.02  # DVL reads 2% long
 
 
-def _build_graph(estimate_scale, n=12, metric_every=1, seed=0):
-    """Chain of poses on an arc; odometry measurements scaled by TRUE_SCALE
-    (scaled=True), exact metric between-factors every `metric_every` steps
-    (scaled=False, the SSM analog)."""
+def _build_graph(estimate_scale, n=12, metric_every=1, seed=0,
+                 scale_xy=(TRUE_SCALE, TRUE_SCALE)):
+    """Chain of poses on an arc; odometry measurements scaled per axis by
+    ``scale_xy`` (scaled=True), exact metric between-factors every
+    `metric_every` steps (scaled=False, the SSM analog). Heading crabs 0.3
+    rad off the track tangent so both body axes carry translation (a
+    tangent-aligned chain leaves the y-scale unobservable — physics, not a
+    solver limitation)."""
     rng = np.random.default_rng(seed)
     th = np.linspace(0, 1.2, n)
-    truth = np.stack([10 * np.sin(th), 10 * (1 - np.cos(th)), th],
+    truth = np.stack([10 * np.sin(th), 10 * (1 - np.cos(th)), th - 0.3],
                      -1).astype(np.float32)
     cfg = GraphConfig(max_poses=n, max_factors=3 * n, gn_iters=12,
                       estimate_scale=estimate_scale, scale_prior_sigma=0.1)
+    sxy = np.array([scale_xy[0], scale_xy[1], 1.0], np.float32)
     g = graph_init(cfg)
     g = add_prior(g, truth[0], sigmas_to_sqrt_info([0.01, 0.01, 0.001]))
     for k in range(n):
         # initialize values from the SCALED odometry chain (what DR gives)
-        g = set_pose_estimate(g, k, truth[k] * np.array([TRUE_SCALE,
-                                                         TRUE_SCALE, 1.0]))
+        g = set_pose_estimate(g, k, truth[k] * sxy)
     for k in range(n - 1):
         z = np.asarray(se2_between(jnp.asarray(truth[k]),
                                    jnp.asarray(truth[k + 1])))
-        z_odo = z * np.array([TRUE_SCALE, TRUE_SCALE, 1.0], np.float32)
+        z_odo = z * sxy
         g = add_between(g, k, k + 1, jnp.asarray(z_odo),
                         sigmas_to_sqrt_info([0.02, 0.02, 0.002]), scaled=True)
         if k % metric_every == 0:
@@ -58,19 +62,30 @@ def _build_graph(estimate_scale, n=12, metric_every=1, seed=0):
 def test_recovers_scale_and_poses():
     g, cfg, truth = _build_graph(estimate_scale=True)
     g = optimize(g, cfg)
-    est_scale = float(np.exp(np.asarray(g.log_scale)))
+    est_scale = np.exp(np.asarray(g.log_scale))
     # the measurement model is z_eff = exp(log_s) * z_odo with z_odo already
     # TRUE_SCALE * z; consistency requires exp(log_s) ~= 1 / TRUE_SCALE
+    # (exp(log_scale) is the CORRECTION factor, the inverse of the bias)
     assert est_scale == pytest.approx(1.0 / TRUE_SCALE, abs=0.004)
     poses = np.asarray(g.poses)
     err = np.linalg.norm(poses[:, :2] - truth[:, :2], axis=1)
     assert err.max() < 0.05, err.max()
 
 
+def test_recovers_per_axis_scale():
+    """The simulator injects a PER-AXIS DVL scale (io/simulate.py); the
+    two-variable model must recover each axis independently."""
+    g, cfg, truth = _build_graph(estimate_scale=True, scale_xy=(1.03, 0.98))
+    g = optimize(g, cfg)
+    est = np.exp(np.asarray(g.log_scale))
+    assert est[0] == pytest.approx(1.0 / 1.03, abs=0.004)
+    assert est[1] == pytest.approx(1.0 / 0.98, abs=0.004)
+
+
 def test_without_estimation_scale_stays_fixed():
     g, cfg, truth = _build_graph(estimate_scale=False)
     g = optimize(g, cfg)
-    assert float(np.asarray(g.log_scale)) == 0.0
+    assert np.all(np.asarray(g.log_scale) == 0.0)
     # poses compromise between the conflicting scaled/metric factors
     poses = np.asarray(g.poses)
     err_off = np.linalg.norm(poses[:, :2] - truth[:, :2], axis=1).max()
@@ -100,7 +115,7 @@ def test_scale_prior_holds_without_metric_factors():
         g = add_between(g, k, k + 1, jnp.asarray(z),
                         sigmas_to_sqrt_info([0.02, 0.02, 0.002]), scaled=True)
     g = optimize(g, cfg)
-    assert abs(float(np.asarray(g.log_scale))) < 1e-3
+    assert np.all(np.abs(np.asarray(g.log_scale)) < 1e-3)
 
 
 def test_marginal_covariance_with_scale_variable():
