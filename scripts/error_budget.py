@@ -16,6 +16,11 @@ plus the raw dead-reckoning ATE (what SLAM must beat) and the per-point
 feature fidelity RMS (the render/quantization floor feeding ICP).
 
 Usage: python scripts/error_budget.py [--full] [--seed N] [--out FILE]
+                                      [--tpu]
+
+``--tpu`` keeps the ambient (tunneled TPU) platform — required for the full
+config, whose CPU replay takes >1 h; all four lanes share one compiled
+program (they differ only in input data), so the TPU run is minutes.
 """
 
 from __future__ import annotations
@@ -31,7 +36,15 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+else:  # persistent cache: shared with bench.py's full-config executable
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import jax.numpy as jnp
@@ -58,13 +71,14 @@ def setups(full: bool):
                         imu_rate=50.0)
         dims = SlamDims(max_keyframes=128, max_points=256,
                         target_capacity=1024, nssm_cov_samples=12,
-                        ssm_sobol=64, nssm_sobol=512, max_loops=32,
+                        ssm_sobol=64, nssm_sobol=512, max_loops=64,
                         gn_iters=3, icp=icp_prod,
                         nssm_target_window=2, nssm_pair_refine=True,
                         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
                         pair_refine_min_inliers=25,
                         nssm_reinit_after_select=True, aggregate_with_dr=True,
-                        estimate_dvl_scale=True)
+                        estimate_dvl_scale=True,
+                        refine_iters=2, refine_sweep=True)
         kf_t = 3.0
     else:
         sim = SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0,
@@ -72,10 +86,11 @@ def setups(full: bool):
                         imu_rate=20.0)
         dims = SlamDims(max_keyframes=32, max_points=128, target_capacity=512,
                         nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=128,
-                        max_loops=16, gn_iters=3, icp=icp_prod,
+                        max_loops=32, gn_iters=3, icp=icp_prod,
                         nssm_target_window=2, nssm_pair_refine=True,
                         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
-                        pair_refine_min_inliers=25)
+                        pair_refine_min_inliers=25,
+                        refine_iters=2, refine_sweep=True)
         kf_t = 2.0
     return sim, dims, kf_t
 
@@ -87,6 +102,7 @@ def bench_params(dims, kf_t, full: bool = False):
         nssm_min_points=jnp.asarray(50 if full else 20, jnp.int32),
         fuse_odometry=jnp.asarray(True),
         use_best_start_tf=jnp.asarray(True),
+        nssm_every=jnp.asarray(2 if full else 1, jnp.int32),
         odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
         icp_odom_sigmas=jnp.asarray(
             [0.2, 0.2, 0.02] if full else [0.3, 0.3, 0.03], jnp.float32),
@@ -155,6 +171,10 @@ def replay_gt_features(bag, sim, params, dims, kf_t, rng):
         valid=jnp.asarray(valid),
     )
     carry, _ = slam_scan(frames, params, dims)
+    if dims.refine_iters > 0:
+        from sonar_slam_tpu.slam import RefineParams, refine_loops
+
+        carry = refine_loops(carry, params, RefineParams.default(), dims)
     nk = int(carry.num_kf)
     truth = bag.true_pose_at_ping[kf_idx][:nk]
     return (ate_rmse(np.asarray(carry.poses[:nk]), truth),

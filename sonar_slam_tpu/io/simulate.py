@@ -72,6 +72,11 @@ class SimConfig:
     vertical_sonar: bool = False
     seafloor_depth: float = 6.0  # meters below the vehicle plane
     vertical_aperture_deg: float = 24.0
+    # downward mount tilt of the vertical fan. Without it a +-12 deg fan
+    # about horizontal cannot see a 6 m-deep floor inside 30 m of range
+    # (needs rho = z/sin(phi) > 28 m) — real vertical-sonar rigs angle the
+    # fan down at the volume of interest.
+    vertical_tilt_deg: float = 20.0
 
 
 class SyntheticBag(NamedTuple):
@@ -319,6 +324,18 @@ def simulate_bag(cfg: SimConfig = SimConfig()) -> SyntheticBag:
             horizontal_aperture=float(np.radians(cfg.vertical_aperture_deg)),
             model="M1200d",
             mode=2,
+        )
+        # apply the downward mount tilt: the fan's "bearings" are elevations
+        # below horizontal after mounting; the fusion geometry sees the same
+        # tilted table, so the tilt flows through vertical_cell_xz untouched
+        vert_geom = SonarGeometry(
+            num_ranges=vert_geom.num_ranges,
+            num_bearings=vert_geom.num_bearings,
+            range_resolution=vert_geom.range_resolution,
+            bearings=(vert_geom.bearings
+                      + np.radians(cfg.vertical_tilt_deg)).astype(np.float32),
+            model=vert_geom.model,
+            vertical_aperture=vert_geom.vertical_aperture,
         )
         # seafloor profile: gentle height variation over (x, y)
         def floor_z(x, y):

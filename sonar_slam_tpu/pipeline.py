@@ -110,6 +110,7 @@ def replay(
     kalman_config: KalmanConfig | None = None,
     use_vertical: bool = False,  # dual-sonar 3-D fusion (configs[3])
     refine_params: RefineParams | None = None,
+    mesh=None,  # jax.sharding.Mesh: shard the refinement fan-outs (§5.7)
 ) -> ReplayResult:
     # 1) odometry front end
     if frontend == "kalman":
@@ -198,13 +199,14 @@ def replay(
     # 5) the fused SLAM scan
     carry, outputs = slam_scan(frames, params, dims)
 
-    # 5b) post-convergence loop re-registration (slam/refine.py)
+    # 5b) post-convergence loop re-registration (slam/refine.py), optionally
+    # sharding its registration fan-outs over a device mesh
     if dims.refine_iters > 0:
         carry = refine_loops(
             carry, params,
             refine_params if refine_params is not None
             else RefineParams.default(),
-            dims,
+            dims, mesh,
         )
 
     nk = int(carry.num_kf)

@@ -46,11 +46,16 @@ def elevation_profile(
     geometry: SonarGeometry,
     num_bins: int,
     max_x: float,
+    min_count: int = 2,
 ):
     """Per-forward-distance height estimate from one vertical frame.
 
     Returns (z (num_bins,), valid (num_bins,)): mean z of detections whose
-    forward distance falls in each x bin of width max_x / num_bins.
+    forward distance falls in each x bin of width max_x / num_bins. Bins
+    with fewer than ``min_count`` detections are invalid — a genuine floor
+    return spans at least two range rows per beam (the transmit pulse),
+    while isolated speckle detections land alone and would otherwise poison
+    the bin with an arbitrary height.
     """
     cells = vertical_cell_xz(geometry).reshape(-1, 2)
     mask = detections.reshape(-1)
@@ -61,7 +66,7 @@ def elevation_profile(
     sums = jnp.zeros((num_bins,), jnp.float32).at[b].add(z * w)
     counts = jnp.zeros((num_bins,), jnp.float32).at[b].add(w)
     zbar = sums / jnp.maximum(counts, 1.0)
-    return zbar, counts > 0
+    return zbar, counts >= min_count
 
 
 def fuse_vertical(

@@ -35,6 +35,16 @@ Two mechanisms, iterated:
 
 All of it is one jitted program over the scan's own carry pytree; gates are
 traced (``RefineParams``) so tuning never recompiles.
+
+**Multi-device**: both fan-outs — L loop re-registrations, K sweep
+registrations — are embarrassingly parallel, so passing a
+``jax.sharding.Mesh`` shards their lane axis over the mesh with
+``shard_map`` (the carry is replicated; only the tiny per-lane results
+gather back). This is the keyframe-axis scaling of SURVEY.md §5.7 wired
+into the PRODUCTION pipeline (reference scale axis: `slam.py:870-899,
+1227-1230`), not a side gallery: ``pipeline.replay(mesh=...)`` and
+``scripts/sharded_replay.py`` run it end to end, equality-pinned against
+the single-device path.
 """
 
 from __future__ import annotations
@@ -44,6 +54,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..cloud import icp
 from ..cloud.icp import censi_covariance
@@ -141,15 +153,38 @@ def _register_pair(
     return coarse_ok, z, cov
 
 
-def _remeasure(carry: SlamCarry, params, rp, dims: SlamDims) -> SlamCarry:
+def _lane_map(fn, carry, lane_args, mesh: Mesh | None):
+    """``vmap(fn(carry, *lane))`` over a lane axis; with a mesh, the lanes
+    are sharded over its (single) axis via shard_map with the carry
+    replicated — each device registers its slice, only the tiny per-lane
+    results gather back."""
+    if mesh is None:
+        return jax.vmap(lambda *a: fn(carry, *a))(*lane_args)
+    axis = mesh.axis_names[0]
+    run = shard_map(
+        lambda c, *a: jax.vmap(lambda *b: fn(c, *b))(*a),
+        mesh=mesh,
+        in_specs=(P(),) + tuple(P(axis) for _ in lane_args),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return run(carry, *lane_args)
+
+
+def _remeasure(
+    carry: SlamCarry, params, rp, dims: SlamDims, mesh: Mesh | None = None
+) -> SlamCarry:
     """Re-register every logged loop; replace factor measurements in place."""
     Lcap = dims.max_loops
     lane = jnp.arange(Lcap)
     valid = lane < jnp.minimum(carry.num_loops, Lcap)
 
-    ok, z, cov = jax.vmap(
-        lambda i, j: _register_pair(carry, i, j, params, rp, dims)
-    )(carry.loops_i, carry.loops_j)
+    ok, z, cov = _lane_map(
+        lambda c, l: _register_pair(
+            c, c.loops_i[l], c.loops_j[l], params, rp, dims
+        ),
+        carry, (lane,), mesh,
+    )
     use = ok & valid
     sq = jax.vmap(cov_to_sqrt_info)(cov)
 
@@ -165,9 +200,41 @@ def _remeasure(carry: SlamCarry, params, rp, dims: SlamDims) -> SlamCarry:
     )
 
 
-def _sweep(carry: SlamCarry, params, rp, dims: SlamDims) -> SlamCarry:
-    """One single-frame registration per source keyframe vs its nearest
-    eligible target; insert confident consistent fits as new loop factors."""
+def _covisibility(carry: SlamCarry, dims: SlamDims) -> jax.Array:
+    """(K, K) mutual co-visibility counts under the current poses:
+    ``C[a, b] = #points of frame b inside frame a's FOV wedge``, symmetrized
+    by min. Proximity alone is the wrong pairing signal for a forward-looking
+    sonar — two nearby keyframes heading apart share nothing (measured: every
+    min-distance pair on the small survey registers with 0 inliers). This is
+    the sweep's analog of the NSSM gated-point target selection
+    (`slam.py:901-916`), computed for ALL pairs in one batched op."""
+    from ..geometry import se2_inverse, se2_transform_points
+
+    gpts = jax.vmap(se2_transform_points)(carry.points, carry.poses)
+    flat = gpts.reshape(-1, 2)  # (K*N, 2)
+    K, N = carry.pmasks.shape
+
+    def per_viewer(pose):
+        local = se2_transform_points(flat, se2_inverse(pose))
+        rng = jnp.linalg.norm(local, axis=-1)
+        brg = jnp.arctan2(local[:, 1], local[:, 0])
+        infov = (rng < dims.max_range) & (
+            jnp.abs(brg) < dims.half_aperture
+        )
+        return jnp.sum(
+            (infov.reshape(K, N)) & carry.pmasks, axis=1
+        ).astype(jnp.int32)
+
+    C = jax.vmap(per_viewer)(carry.poses)  # (viewer a, viewed b)
+    return jnp.minimum(C, C.T)
+
+
+def _sweep(
+    carry: SlamCarry, params, rp, dims: SlamDims, mesh: Mesh | None = None
+) -> SlamCarry:
+    """One single-frame registration per source keyframe vs its most
+    co-visible eligible target; insert confident consistent fits as new loop
+    factors."""
     K = dims.max_keyframes
     idx = jnp.arange(K)
     pos = carry.poses[:, :2]
@@ -182,27 +249,28 @@ def _sweep(carry: SlamCarry, params, rp, dims: SlamDims) -> SlamCarry:
         > 0
     )
 
+    covis = _covisibility(carry, dims)
     eligible = (
         (idx[None, :] - idx[:, None] >= dims.nssm_min_st_sep)  # j older-gap
         & (idx[None, :] < carry.num_kf)
         & (idx[:, None] < carry.num_kf)
         & ~taken
         & (d <= rp.prox_radius)
+        & (covis >= params.nssm_min_points)
     )
-    score = jnp.where(eligible, d, jnp.inf)
-    tgt_of = jnp.argmin(score, axis=0)  # best target i for each source j
-    has_tgt = jnp.isfinite(jnp.min(score, axis=0))
+    score = jnp.where(eligible, covis, -1)
+    tgt_of = jnp.argmax(score, axis=0)  # most co-visible target per source j
+    has_tgt = jnp.max(score, axis=0) > 0
 
-    def one(j):
-        i = tgt_of[j]
-        guess = se2_between(carry.poses[i], carry.poses[j])
+    def one(c, j, i, has):
+        guess = se2_between(c.poses[i], c.poses[j])
         rr = icp(
-            carry.points[j], carry.pmasks[j],
-            carry.points[i], carry.pmasks[i], guess, dims.icp,
+            c.points[j], c.pmasks[j],
+            c.points[i], c.pmasks[i], guess, dims.icp,
         )
         dd = se2_between(guess, rr.pose)
         ok = (
-            has_tgt[j]
+            has
             & rr.ok
             & (rr.inliers >= rp.min_inliers)
             & (jnp.linalg.norm(dd[:2]) <= rp.sweep_max_dt)
@@ -214,7 +282,7 @@ def _sweep(carry: SlamCarry, params, rp, dims: SlamDims) -> SlamCarry:
         cov, _ = apply_covariance_floor(cov, params.icp_odom_sigmas)
         return ok, rr.pose, cov
 
-    ok, z, cov = jax.vmap(one)(idx)
+    ok, z, cov = _lane_map(one, carry, (idx, tgt_of, has_tgt), mesh)
 
     from ..graph.factor_graph import add_between  # local: avoid cycle noise
 
@@ -241,18 +309,21 @@ def _sweep(carry: SlamCarry, params, rp, dims: SlamDims) -> SlamCarry:
     return carry
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def refine_loops(
     carry: SlamCarry,
     params: SlamParams,
     rp: RefineParams,
     dims: SlamDims,
+    mesh: Mesh | None = None,
 ) -> SlamCarry:
     """Iterated post-convergence refinement: re-measure -> optimize
     (-> sweep -> optimize) x ``dims.refine_iters``.
 
     Returns the refined carry (poses, graph, loop log all updated). No-op
-    when ``dims.refine_iters == 0``.
+    when ``dims.refine_iters == 0``. With ``mesh`` (single-axis), the
+    registration fan-outs shard over its devices; lane capacities
+    (``max_loops``, ``max_keyframes``) must divide by the mesh size.
     """
     if dims.refine_iters <= 0:
         return carry
@@ -266,7 +337,7 @@ def refine_loops(
         return c._replace(graph=g, poses=g.poses)
 
     for it in range(dims.refine_iters):
-        carry = opt(_remeasure(carry, params, rp, dims))
+        carry = opt(_remeasure(carry, params, rp, dims, mesh))
         if dims.refine_sweep:
-            carry = opt(_sweep(carry, params, rp, dims))
+            carry = opt(_sweep(carry, params, rp, dims, mesh))
     return carry

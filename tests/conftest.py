@@ -30,3 +30,5 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: needs the real TPU (SONAR_SLAM_TPU_TESTS=1, one "
         "TPU process at a time)")
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end test")

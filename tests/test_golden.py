@@ -34,13 +34,14 @@ def test_golden_trajectory():
     dims = SlamDims(
         max_keyframes=32, max_points=128, target_capacity=512,
         nssm_min_st_sep=8, nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=128,
-        max_loops=16, gn_iters=3,
+        max_loops=32, gn_iters=3,
         icp=ICPConfig(max_iterations=12, min_diff_rot=1e-3,
                       min_diff_trans=1e-2, point_to_line=True,
                       outlier_max_dist=0.5),
         nssm_target_window=2, nssm_pair_refine=True,
         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
         pair_refine_min_inliers=25,
+        refine_iters=2, refine_sweep=True,
     )
     p = SlamParams.default(dims)._replace(
         keyframe_translation=jnp.float32(2.0),

@@ -1,5 +1,6 @@
 """ROS1 bag reader round-trip tests (writer -> reader, no ROS needed)."""
 
+import os
 import struct
 
 import numpy as np
@@ -235,3 +236,280 @@ def test_bz2_chunk(tmp_path):
              b"size": _s.pack("<I", len(chunk))}, comp))
     out = list(read_bag(path))
     assert len(out) == 1 and out[0][2]["velocity"]["x"] == 0.5
+
+
+# ----------------------------------------------------------------------
+# end-to-end real-bag-format seam (VERDICT r2 #9): simulator -> genuine
+# .bag (lz4 chunk, OculusPing with PIL-compressed payload + fire msg) ->
+# convert_bag.py decode -> replay == direct in-memory replay.
+# ----------------------------------------------------------------------
+
+IMU_FULL_DEF = """\
+Header header
+geometry_msgs/Quaternion orientation
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+================================================================================
+MSG: geometry_msgs/Quaternion
+float64 x
+float64 y
+float64 z
+float64 w
+"""
+
+DEPTH_DEF = """\
+Header header
+float64 depth
+float64 temperature
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+"""
+
+# faithful OculusPing layout: nested fire msg (gamma etc.,
+# reference sonar.py:10-66) + CompressedImage payload + bearing table in
+# centidegrees (reference sonar.py:213-228 divides by 100)
+OCULUS_PING_FULL_DEF = """\
+Header header
+sonar_oculus/OculusFire fire_msg
+int32 ping_id
+sensor_msgs/CompressedImage ping
+int16[] bearings
+float64 range_resolution
+uint32 num_ranges
+uint32 num_beams
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+================================================================================
+MSG: sonar_oculus/OculusFire
+Header header
+uint8 mode
+uint8 gamma
+uint8 flags
+float64 range
+float64 gain
+float64 speed_of_sound
+float64 salinity
+================================================================================
+MSG: sensor_msgs/CompressedImage
+Header header
+string format
+uint8[] data
+"""
+
+
+def _ser_imu(seq, t, yaw):
+    import numpy as _np
+
+    q = (0.0, 0.0, float(_np.sin(yaw / 2)), float(_np.cos(yaw / 2)))
+    return ser_header(seq, t, "imu") + struct.pack("<dddd", *q)
+
+
+def _ser_depth(seq, t, d):
+    return ser_header(seq, t, "depth") + struct.pack("<dd", d, 20.0)
+
+
+def _ser_compressed_image(seq, t, fmt, payload):
+    out = ser_header(seq, t, "sonar")
+    f = fmt.encode()
+    out += struct.pack("<I", len(f)) + f
+    out += struct.pack("<I", len(payload)) + payload
+    return out
+
+
+def _ser_oculus_ping(seq, t, gamma, img_payload, fmt, bearings_cdeg, res, nr):
+    out = ser_header(seq, t, "sonar")
+    # fire msg
+    out += ser_header(seq, t, "sonar")
+    out += struct.pack("<BBB", 2, gamma, 0)
+    out += struct.pack("<dddd", 30.0, 20.0, 1500.0, 0.0)
+    out += struct.pack("<i", seq)  # ping_id
+    out += _ser_compressed_image(seq, t, fmt, img_payload)
+    b = np.asarray(bearings_cdeg, "<i2")
+    out += struct.pack("<I", len(b)) + b.tobytes()
+    out += struct.pack("<dI", res, nr)
+    out += struct.pack("<I", len(b))  # num_beams
+    return out
+
+
+def _gamma_compress(img, gamma):
+    """The Oculus on-sonar gamma encoding (inverse of
+    utils/conversions.py:217-247's decompression)."""
+    x = np.clip(np.asarray(img, np.float64) / 255.0, 0.0, 1.0)
+    return np.round(255.0 * x ** (gamma / 255.0)).astype(np.uint8)
+
+
+@pytest.mark.slow
+def test_bag_seam_end_to_end(tmp_path):
+    """Simulator -> lz4 .bag (PNG-compressed pings, fire-msg gamma) ->
+    convert_bag.py -> replay must equal the direct in-memory replay of the
+    identically quantized tensors. Closes the last untested seam of the
+    real-data path (reference transparent bag reading: utils/io.py:130-154).
+    """
+    import io as _io
+    import subprocess
+    import sys as _sys
+
+    from PIL import Image
+
+    import jax.numpy as jnp
+    from sonar_slam_tpu.io.simulate import SimConfig, simulate_bag
+    from sonar_slam_tpu.slam.sonar import SonarGeometry
+    from sonar_slam_tpu.slam import FeatureConfig, SlamDims, SlamParams
+    from sonar_slam_tpu.cloud import ICPConfig
+    from sonar_slam_tpu.pipeline import replay
+
+    sim = SimConfig(duration=40.0, speed=0.5, sonar_rate=1.0,
+                    num_ranges=96, num_bearings=48, loop_radius=8.0,
+                    imu_rate=10.0, dvl_rate=4.0, depth_rate=2.0)
+    bag = simulate_bag(sim)
+    gamma = 127
+
+    # quantize exactly as the wire format does, once, for BOTH lanes
+    imgs_q = np.stack([_gamma_compress(im, gamma) for im in bag.ping_images])
+    bearings_cdeg = np.round(np.degrees(bag.geometry.bearings) * 100)
+    geom_q = SonarGeometry(
+        num_ranges=bag.geometry.num_ranges,
+        num_bearings=bag.geometry.num_bearings,
+        range_resolution=bag.geometry.range_resolution,
+        bearings=np.radians(bearings_cdeg / 100.0).astype(np.float32),
+    )
+    # IMU yaw through the quaternion wire round-trip
+    yaw_q = np.asarray([
+        2 * np.arctan2(np.sin(y / 2), np.cos(y / 2))
+        for y in bag.imu_rpy[:, 2]
+    ], np.float32)
+
+    # ---- write the genuine bag (lz4 chunk) ----
+    from sonar_slam_tpu.io.rosbag import ROS_TOPICS, write_bag
+
+    conns = [
+        {"id": 0, "topic": ROS_TOPICS["imu"], "type": "sensor_msgs/Imu",
+         "definition": IMU_FULL_DEF},
+        {"id": 1, "topic": ROS_TOPICS["dvl"], "type": "rti_dvl/DVL",
+         "definition": DVL_DEF},
+        {"id": 2, "topic": ROS_TOPICS["depth"], "type": "bar30_depth/Depth",
+         "definition": DEPTH_DEF},
+        {"id": 3, "topic": ROS_TOPICS["sonar"],
+         "type": "sonar_oculus/OculusPing",
+         "definition": OCULUS_PING_FULL_DEF},
+    ]
+    msgs = []
+    for k, t in enumerate(bag.imu_time):
+        msgs.append((0, float(t), _ser_imu(k, float(t), bag.imu_rpy[k, 2])))
+    for k, t in enumerate(bag.dvl_time):
+        v = bag.dvl_vel[k]
+        msgs.append((1, float(t), ser_dvl(k, float(t), float(v[0]),
+                                          float(v[1]), float(v[2]), 5.0)))
+    for k, t in enumerate(bag.depth_time):
+        msgs.append((2, float(t), _ser_depth(k, float(t),
+                                             float(bag.depth[k]))))
+    for k, t in enumerate(bag.ping_time):
+        buf = _io.BytesIO()
+        Image.fromarray(imgs_q[k]).save(buf, format="PNG")
+        msgs.append((3, float(t), _ser_oculus_ping(
+            k, float(t), gamma, buf.getvalue(), "png", bearings_cdeg,
+            bag.geometry.range_resolution, bag.geometry.num_ranges)))
+    msgs.sort(key=lambda m: m[1])
+    bag_path = str(tmp_path / "seam.bag")
+    write_bag(bag_path, conns, msgs, compression="lz4")
+
+    # ---- convert_bag.py (the real CLI) ----
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    npz_path = str(tmp_path / "seam.npz")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "convert_bag.py"),
+         bag_path, "--out", npz_path],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+
+    # ---- replay both lanes ----
+    import scripts.replay as replay_cli  # noqa: F401 (path set by conftest)
+
+    from scripts.replay import load_npz_bag
+
+    bag_file = load_npz_bag(npz_path, 0.0, 0.0)
+    np.testing.assert_array_equal(bag_file.ping_images.shape,
+                                  bag.ping_images.shape)
+
+    # in-memory lane on the SAME quantized tensors
+    import sys as _s2
+    _s2.path.insert(0, repo)
+    sys_native = os.path.join(repo, "native")
+    if sys_native not in _s2.path:
+        _s2.path.insert(0, sys_native)
+    import runtime as native
+
+    imgs_mem = np.stack([
+        native.gamma_decompress(im, float(gamma)) for im in imgs_q
+    ]).astype(np.float32)
+    bag_mem = bag._replace(
+        ping_images=imgs_mem, geometry=geom_q,
+        imu_rpy=np.stack([bag.imu_rpy[:, 0], bag.imu_rpy[:, 1], yaw_q],
+                         -1).astype(np.float32),
+    )
+
+    # decoded images through the bag must EQUAL the in-memory quantized ones
+    np.testing.assert_allclose(bag_file.ping_images, imgs_mem, atol=1e-4)
+
+    dims = SlamDims(max_keyframes=16, max_points=64, target_capacity=128,
+                    nssm_min_st_sep=4, nssm_source_frames=2,
+                    ssm_target_frames=2, nssm_cov_samples=4, ssm_sobol=16,
+                    nssm_sobol=16, max_loops=8, gn_iters=2,
+                    pcm_queue_slots=3, icp=ICPConfig(max_iterations=8))
+    params = SlamParams.default(dims)._replace(
+        keyframe_translation=jnp.float32(2.0),
+        ssm_min_points=jnp.asarray(5, jnp.int32),
+        nssm_min_points=jnp.asarray(5, jnp.int32),
+    )
+    fc = FeatureConfig(max_points=64)
+    res_file = replay(bag_file, fc, params, dims)
+    res_mem = replay(bag_mem, fc, params, dims)
+
+    assert res_file.num_keyframes == res_mem.num_keyframes
+    np.testing.assert_allclose(
+        res_file.trajectory, res_mem.trajectory, atol=1e-4,
+        err_msg="bag-format path diverged from in-memory replay",
+    )
+
+
+def test_jpeg_ping_decodes(tmp_path):
+    """JPEG-compressed OculusPing payloads decode through the PIL path of
+    convert_bag.decode_ping_image (lossy — image-level closeness only)."""
+    import io as _io
+
+    from PIL import Image
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys as _s
+    if os.path.join(repo, "scripts") not in _s.path:
+        _s.path.insert(0, os.path.join(repo, "scripts"))
+    if os.path.join(repo, "native") not in _s.path:
+        _s.path.insert(0, os.path.join(repo, "native"))
+    from convert_bag import decode_ping_image
+    import runtime as native
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(64, 32), dtype=np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    ping = {
+        "ping": {"data": np.frombuffer(buf.getvalue(), np.uint8),
+                 "format": "jpeg", "height": 0, "width": 0},
+        "fire_msg": {"gamma": 255},
+    }
+    out = decode_ping_image(ping, native.gamma_decompress)
+    assert out is not None and out.shape == (64, 32)
+    # JPEG at q95 keeps intensities within a few levels
+    assert np.mean(np.abs(out.astype(np.float64) - img)) < 6.0
