@@ -82,6 +82,11 @@ def main() -> None:
                     help="override the ICP correspondence radius")
     ap.add_argument("--no-subbin", action="store_true",
                     help="disable sub-bin peak refinement in the frontend")
+    ap.add_argument("--refine", type=int, default=0, metavar="N",
+                    help="post-convergence loop re-registration sweeps "
+                         "(slam/refine.py); 0 disables")
+    ap.add_argument("--refine-sweep", action="store_true",
+                    help="also run the proximity loop sweep during --refine")
     args = ap.parse_args()
 
     import jax
@@ -124,6 +129,11 @@ def main() -> None:
     feat = load_feature_config(args.feature_config, max_points=dims.max_points)
     if args.no_subbin:
         feat = feat._replace(subbin=False)
+    if args.refine > 0:
+        from dataclasses import replace as _dcr2
+
+        dims = _dcr2(dims, refine_iters=args.refine,
+                     refine_sweep=args.refine_sweep)
 
     with CodeTimer("replay (incl compile)"):
         t0 = time.time()

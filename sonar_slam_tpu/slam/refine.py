@@ -123,11 +123,8 @@ def _register_pair(
 
     res = icp(src_pts, src_mask, tgt_pts, tgt_mask, guess, dims.icp)
     d = se2_between(guess, res.pose)
-    coarse_ok = (
-        res.ok
-        & (res.inliers >= rp.min_inliers)
-        & (jnp.linalg.norm(d[:2]) <= rp.max_dt)
-        & (jnp.abs(d[2]) <= rp.max_dr)
+    in_gate = (jnp.linalg.norm(d[:2]) <= rp.max_dt) & (
+        jnp.abs(d[2]) <= rp.max_dr
     )
     z, info, mse = res.pose, res.info, res.mse
 
@@ -148,9 +145,18 @@ def _register_pair(
     info = jnp.where(pair_ok, rr.info, info)
     mse = jnp.where(pair_ok, rr.mse, mse)
 
+    # accept when the measurement stayed consistent with the converged
+    # geometry AND either stage had enough correspondence support (the
+    # voxelized coarse windows can be sparse while the raw single-frame
+    # pair is dense — and vice versa)
+    ok = (
+        res.ok
+        & in_gate
+        & ((res.inliers >= rp.min_inliers) | pair_ok)
+    )
     cov = localize_covariance(censi_covariance(info, mse, z), z)
     cov, _ = apply_covariance_floor(cov, params.icp_odom_sigmas)
-    return coarse_ok, z, cov
+    return ok, z, cov
 
 
 def _lane_map(fn, carry, lane_args, mesh: Mesh | None):
