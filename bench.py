@@ -105,6 +105,16 @@ def main() -> None:
                     help="skip the dual-sonar z-accuracy line")
     ap.add_argument("--stages", action="store_true",
                     help="also run a per-stage (blocking) diagnostic repeat")
+    ap.add_argument("--nssm-every", type=int, default=0,
+                    help="override the in-scan loop-search cadence (traced; "
+                         "0 = config default)")
+    ap.add_argument("--no-refine", action="store_true",
+                    help="skip the post-convergence refinement stage")
+    ap.add_argument("--refine-floor", type=float, default=0.0,
+                    help="override the refined-loop covariance floor sigma "
+                         "(m; traced, 0 = default)")
+    ap.add_argument("--refine-robust", type=int, default=-1,
+                    help="override Cauchy-robust refined loops (0/1, traced)")
     args = ap.parse_args()
 
     import jax
@@ -188,6 +198,8 @@ def main() -> None:
         #  the short single-arc small config)
         kf_translation = 3.0
         nssm_every = 2  # refine.py recovers the sparser search's recall
+    if args.nssm_every > 0:
+        nssm_every = args.nssm_every
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()
@@ -214,6 +226,13 @@ def main() -> None:
             jnp.float32),
     )
     rparams = RefineParams.default()
+    if args.refine_floor > 0:
+        rparams = rparams._replace(floor_sigmas=jnp.asarray(
+            [args.refine_floor, args.refine_floor, args.refine_floor / 5.0],
+            jnp.float32))
+    if args.refine_robust >= 0:
+        rparams = rparams._replace(robust=jnp.asarray(bool(args.refine_robust)))
+    do_refine = dims.refine_iters > 0 and not args.no_refine
     feature_config = FeatureConfig(max_points=dims.max_points)
     dr_config = DRConfig(roll_offset=0.0)
 
@@ -316,8 +335,9 @@ def main() -> None:
                                ping_images[sel_d])
             carry, outputs = timed("slam_scan", stage2b, sel_d, valid_d,
                                    ping_dr3, pts, masks)
-            carry = timed("refine", refine_loops, carry, params, rparams,
-                          dims)
+            if do_refine:
+                carry = timed("refine", refine_loops, carry, params,
+                              rparams, dims)
             occ = timed("mapping", stage3_mapping, carry.poses, carry.points,
                         carry.pmasks, valid_d)
         else:
@@ -326,7 +346,8 @@ def main() -> None:
             kf_idx, sel_d, valid_d = host_select(kf_mask)
             pts, masks = extractor.extract_batch(ping_images[sel_d])
             carry, outputs = stage2b(sel_d, valid_d, ping_dr3, pts, masks)
-            carry = refine_loops(carry, params, rparams, dims)
+            if do_refine:
+                carry = refine_loops(carry, params, rparams, dims)
             occ = stage3_mapping(carry.poses, carry.points, carry.pmasks,
                                  valid_d)
             jax.block_until_ready((carry.poses, occ))
@@ -373,7 +394,7 @@ def main() -> None:
     # so the estimated sensor bias is its inverse; the simulator injected
     # bag.true_dvl_scale (x, y, z)
     est_corr = np.exp(np.asarray(carry.graph.log_scale))
-    est_bias = (1.0 / est_corr).tolist()
+    est_bias = (1.0 / est_corr).tolist() if dims.estimate_dvl_scale else None
     true_bias = (
         np.asarray(bag.true_dvl_scale)[:2].tolist()
         if bag.true_dvl_scale is not None else None
@@ -391,7 +412,8 @@ def main() -> None:
         "platform": jax.devices()[0].platform,
         "stages_ms": {k: round(v, 1) for k, v in stage_ms.items()},
         "map_occupied_cells": occupied,
-        "est_dvl_scale_xy": [round(v, 5) for v in est_bias],
+        "est_dvl_scale_xy": [round(v, 5) for v in est_bias]
+        if est_bias else None,
         "true_dvl_scale_xy": [round(v, 5) for v in true_bias]
         if true_bias else None,
         "seed": args.seed,

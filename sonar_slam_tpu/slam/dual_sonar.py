@@ -75,18 +75,28 @@ def fuse_vertical(
     profile_z: jax.Array,  # (B,) from elevation_profile
     profile_valid: jax.Array,
     max_x: float,
+    max_bearing: float = float(np.radians(6.0)),
 ):
     """Lift the horizontal 2-D cloud to 3-D using the vertical profile.
 
     Returns (points3d (N, 3), mask (N,)). The mask equals the input mask —
     unmatched points keep z = 0 rather than being dropped, preserving the
     planar fallback of the 3-DOF pipeline.
+
+    Only points within ``max_bearing`` of the body x-axis receive a height:
+    the vertical fan images a narrow strip about the x-z plane (the M1200d's
+    out-of-plane aperture is a few degrees), so its profile says nothing
+    about terrain far off-axis — measured, extrapolating it across the full
+    horizontal FOV costs ~1 m z-RMSE against the simulated seafloor while
+    the in-strip profile is centimeter-accurate.
     """
     B = profile_z.shape[0]
     bin_w = max_x / B
     fwd = jnp.linalg.norm(h_points, axis=-1)  # forward distance = slant range
+    brg = jnp.arctan2(h_points[:, 1], jnp.maximum(h_points[:, 0], 1e-6))
+    in_strip = jnp.abs(brg) <= max_bearing
     b = jnp.clip((fwd / bin_w).astype(jnp.int32), 0, B - 1)
-    z = jnp.where(profile_valid[b], profile_z[b], 0.0)
+    z = jnp.where(profile_valid[b] & in_strip, profile_z[b], 0.0)
     pts3 = jnp.concatenate([h_points, z[:, None]], axis=-1)
     return jnp.where(h_mask[:, None], pts3, 0.0), h_mask
 

@@ -74,6 +74,15 @@ class RefineParams(NamedTuple):
     sweep_max_dt: jax.Array  # sweep acceptance gate vs converged guess (m)
     sweep_max_dr: jax.Array  # (rad)
     prox_radius: jax.Array  # sweep pairing radius (m)
+    # covariance floor for REFINED loop factors. The in-scan floor
+    # (SlamParams.icp_odom_sigmas, reference slam.py:382-386) prices the
+    # biased drift-seeded measurements the scan produces; post-convergence
+    # re-registration is measured at 2-3 cm median (BENCH_r03), and keeping
+    # the in-scan floor (20 cm full config) would leave those measurements
+    # too weak to pull the graph. Cauchy-robustified (`robust`) so the
+    # occasional bad re-registration cannot dominate at the tighter weight.
+    floor_sigmas: jax.Array  # (3,)
+    robust: jax.Array  # bool: Cauchy-robustify refined/swept loop factors
 
     @staticmethod
     def default() -> "RefineParams":
@@ -85,6 +94,8 @@ class RefineParams(NamedTuple):
             sweep_max_dt=f(0.5),
             sweep_max_dr=f(0.1),
             prox_radius=f(20.0),
+            floor_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
+            robust=jnp.asarray(True),
         )
 
 
@@ -155,7 +166,7 @@ def _register_pair(
         & ((res.inliers >= rp.min_inliers) | pair_ok)
     )
     cov = localize_covariance(censi_covariance(info, mse, z), z)
-    cov, _ = apply_covariance_floor(cov, params.icp_odom_sigmas)
+    cov, _ = apply_covariance_floor(cov, rp.floor_sigmas)
     return ok, z, cov
 
 
@@ -200,8 +211,11 @@ def _remeasure(
     f_sq = g.f_sqrt_info.at[slots].set(
         jnp.where(use[:, None, None], sq, g.f_sqrt_info[slots])
     )
+    f_rb = g.f_robust.at[slots].set(
+        jnp.where(use, rp.robust, g.f_robust[slots])
+    )
     return carry._replace(
-        graph=g._replace(f_z=f_z, f_sqrt_info=f_sq),
+        graph=g._replace(f_z=f_z, f_sqrt_info=f_sq, f_robust=f_rb),
         loops_tf=jnp.where(use[:, None], z, carry.loops_tf),
     )
 
@@ -285,7 +299,7 @@ def _sweep(
         cov = localize_covariance(
             censi_covariance(rr.info, rr.mse, rr.pose), rr.pose
         )
-        cov, _ = apply_covariance_floor(cov, params.icp_odom_sigmas)
+        cov, _ = apply_covariance_floor(cov, rp.floor_sigmas)
         return ok, rr.pose, cov
 
     ok, z, cov = _lane_map(one, carry, (idx, tgt_of, has_tgt), mesh)
@@ -297,7 +311,7 @@ def _sweep(
         fslot = c.graph.num_factors
         g = add_between(
             c.graph, tgt_of[j], j, z[j], cov_to_sqrt_info(cov[j]),
-            robust=False, enabled=en,
+            robust=rp.robust, enabled=en,
         )
         slot = jnp.clip(c.num_loops, 0, dims.max_loops - 1)
         return c._replace(
