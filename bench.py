@@ -115,6 +115,11 @@ def main() -> None:
                          "(m; traced, 0 = default)")
     ap.add_argument("--refine-robust", type=int, default=-1,
                     help="override Cauchy-robust refined loops (0/1, traced)")
+    ap.add_argument("--dump", default="",
+                    help="write trajectory/truth/loops npz for analysis")
+    ap.add_argument("--icp-floor", type=float, default=0.0,
+                    help="override icp_odom_sigmas xy (SSM factor weight + "
+                         "in-scan loop floor; traced)")
     args = ap.parse_args()
 
     import jax
@@ -225,6 +230,10 @@ def main() -> None:
             [0.3, 0.3, 0.03] if args.small else [0.2, 0.2, 0.02],
             jnp.float32),
     )
+    if args.icp_floor > 0:
+        params = params._replace(icp_odom_sigmas=jnp.asarray(
+            [args.icp_floor, args.icp_floor, args.icp_floor / 10.0],
+            jnp.float32))
     rparams = RefineParams.default()
     if args.refine_floor > 0:
         rparams = rparams._replace(floor_sigmas=jnp.asarray(
@@ -384,6 +393,14 @@ def main() -> None:
     hdg = ate_heading_deg(np.asarray(carry.poses[:nk]), truth)
     lm = loop_metrics(carry, truth, dims.nssm_min_st_sep,
                       prox_radius=0.5 * dims.max_range)
+    if args.dump:
+        np.savez(args.dump,
+                 trajectory=np.asarray(carry.poses[:nk]), truth=truth,
+                 dr=np.asarray(carry.dr_poses[:nk]),
+                 loops_i=np.asarray(carry.loops_i), loops_j=np.asarray(carry.loops_j),
+                 loops_tf=np.asarray(carry.loops_tf),
+                 num_loops=int(carry.num_loops),
+                 log_scale=np.asarray(carry.graph.log_scale))
     xrt = sim.duration / wall
     steps_per_sec = nk / wall
     log(f"keyframes: {nk}, loops: {int(carry.num_loops)}, wall: {wall:.3f}s, "

@@ -173,14 +173,19 @@ class SlamDims:
     # inserting PCM-bypassing high-confidence loops the in-scan NSSM search
     # missed (recall recovery for sparse nssm_every cadences)
     refine_sweep: bool = False
+    # post-convergence re-registration of the CONSECUTIVE chain: adds tight
+    # sequential factors from converged-seed single-frame ICP, stiffening
+    # the inter-anchor odometry chain (see refine.py::_densify_chain)
+    refine_chain: bool = False
     aggregation_extent: float = 2.0  # voxel-grid half-extent, in max_ranges
     point_resolution: float = 0.5  # static: fixes voxel-grid dims at trace time
 
     def graph_config(self) -> GraphConfig:
         return GraphConfig(
             max_poses=self.max_keyframes,
-            # room for SSM + fused odometry per keyframe, plus loops
-            max_factors=2 * self.max_keyframes + self.max_loops + 4,
+            # room for SSM + fused odometry + refined-chain factors per
+            # keyframe, plus loops
+            max_factors=3 * self.max_keyframes + self.max_loops + 4,
             gn_iters=self.gn_iters,
             estimate_scale=self.estimate_dvl_scale,
             scale_prior_sigma=self.dvl_scale_prior_sigma,

@@ -249,6 +249,62 @@ def _covisibility(carry: SlamCarry, dims: SlamDims) -> jax.Array:
     return jnp.minimum(C, C.T)
 
 
+def _densify_chain(
+    carry: SlamCarry, params, rp, dims: SlamDims, mesh: Mesh | None = None
+) -> SlamCarry:
+    """Re-register every CONSECUTIVE keyframe pair from the converged poses
+    and add the result as a tight sequential factor.
+
+    The in-scan SSM factors carry the reference's fixed covariance floor
+    (`icp_odom_sigmas`, 20 cm at the full config — slam.py:382-386), priced
+    for drift-seeded measurements; tightening that floor in-scan is
+    catastrophic (measured: biased in-scan loop measurements share it and
+    bend the graph 10x). Post-convergence, the same pairs re-register to
+    centimeters, so adding them at an honest weight stiffens the
+    inter-anchor odometry chain — the dominant residual once loops are
+    accurate — and sharpens the DVL-scale estimate (each pair is one more
+    strong metric-vs-scaled contrast). New factors are added (the weak
+    originals stay; their information is negligible at 16x the sigma)."""
+    K = dims.max_keyframes
+    idx = jnp.arange(K)
+
+    def one(c, k):
+        prev = jnp.maximum(k - 1, 0)
+        guess = se2_between(c.poses[prev], c.poses[k])
+        rr = icp(
+            c.points[k], c.pmasks[k],
+            c.points[prev], c.pmasks[prev], guess, dims.icp,
+        )
+        dd = se2_between(guess, rr.pose)
+        ok = (
+            (k >= 1)
+            & (k < c.num_kf)
+            & rr.ok
+            & (rr.inliers >= rp.min_inliers)
+            & (jnp.linalg.norm(dd[:2]) <= dims.pair_refine_max_dt)
+            & (jnp.abs(dd[2]) <= dims.pair_refine_max_dr)
+        )
+        cov = localize_covariance(
+            censi_covariance(rr.info, rr.mse, rr.pose), rr.pose
+        )
+        cov, _ = apply_covariance_floor(cov, rp.floor_sigmas)
+        return ok, rr.pose, cov
+
+    ok, z, cov = _lane_map(one, carry, (idx,), mesh)
+
+    from ..graph.factor_graph import add_between
+
+    def insert_one(c: SlamCarry, k):
+        g = add_between(
+            c.graph, k - 1, k, z[k], cov_to_sqrt_info(cov[k]),
+            robust=rp.robust, enabled=ok[k],
+        )
+        return c._replace(graph=g), None
+
+    carry, _ = jax.lax.scan(insert_one, carry, idx)
+    return carry
+
+
 def _sweep(
     carry: SlamCarry, params, rp, dims: SlamDims, mesh: Mesh | None = None
 ) -> SlamCarry:
@@ -349,8 +405,16 @@ def refine_loops(
         return carry
     # refinement moves measurements substantially on the first sweep — give
     # the GN solver more relinearization headroom than the warm-started
-    # in-scan updates need (the convergence tol early-exits when done)
-    gcfg = dims.graph_config()._replace(gn_iters=max(dims.gn_iters, 8))
+    # in-scan updates need (the convergence tol early-exits when done).
+    # The DVL-scale prior is also relaxed here: in-scan the tight prior
+    # (default 5%) keeps a weakly-observed scale from absorbing noise, but
+    # once the refined loops pin the graph the scale is well-observed and
+    # the tight prior only shrinks the estimate toward nominal (measured:
+    # ~1/3 of the injected bias left on the table).
+    gcfg = dims.graph_config()._replace(
+        gn_iters=max(dims.gn_iters, 8),
+        scale_prior_sigma=max(dims.dvl_scale_prior_sigma, 0.25),
+    )
 
     def opt(c: SlamCarry) -> SlamCarry:
         g = optimize(c.graph, gcfg)
@@ -358,6 +422,8 @@ def refine_loops(
 
     for it in range(dims.refine_iters):
         carry = opt(_remeasure(carry, params, rp, dims, mesh))
+        if it == 0 and dims.refine_chain:
+            carry = opt(_densify_chain(carry, params, rp, dims, mesh))
         if dims.refine_sweep:
             carry = opt(_sweep(carry, params, rp, dims, mesh))
     return carry
