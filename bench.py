@@ -179,7 +179,7 @@ def main() -> None:
                         nssm_target_window=2, nssm_pair_refine=True,
                         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
                         pair_refine_min_inliers=25,
-                        refine_iters=2, refine_sweep=True)
+                        refine_iters=2, refine_sweep=True, refine_chain=True)
         # (reinit-after-select and DR-relative aggregation help only on
         #  multi-circuit surveys with accumulated drift — the full config;
         #  measured counterproductive on this short single-arc one)
@@ -197,7 +197,7 @@ def main() -> None:
                         pair_refine_min_inliers=25,
                         nssm_reinit_after_select=True, aggregate_with_dr=True,
                         estimate_dvl_scale=True, dvl_scale_prior_sigma=0.05,
-                        refine_iters=2, refine_sweep=True)
+                        refine_iters=2, refine_sweep=True, refine_chain=True)
         # (reinit / DR-relative aggregation / online DVL-scale calibration
         #  are multi-circuit-drift features; measured counterproductive on
         #  the short single-arc small config)
@@ -520,7 +520,7 @@ def main() -> None:
                 nssm_target_window=2, nssm_pair_refine=True,
                 pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
                 pair_refine_min_inliers=25,
-                refine_iters=2, refine_sweep=True)
+                refine_iters=2, refine_sweep=True, refine_chain=True)
             dparams = SlamParams.default(ddims)._replace(
                 keyframe_translation=jnp.float32(2.0),
                 ssm_min_points=jnp.asarray(20, jnp.int32),

@@ -78,7 +78,7 @@ def setups(full: bool):
                         pair_refine_min_inliers=25,
                         nssm_reinit_after_select=True, aggregate_with_dr=True,
                         estimate_dvl_scale=True,
-                        refine_iters=2, refine_sweep=True)
+                        refine_iters=2, refine_sweep=True, refine_chain=True)
         kf_t = 3.0
     else:
         sim = SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0,
@@ -90,7 +90,7 @@ def setups(full: bool):
                         nssm_target_window=2, nssm_pair_refine=True,
                         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
                         pair_refine_min_inliers=25,
-                        refine_iters=2, refine_sweep=True)
+                        refine_iters=2, refine_sweep=True, refine_chain=True)
         kf_t = 2.0
     return sim, dims, kf_t
 

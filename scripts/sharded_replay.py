@@ -85,7 +85,7 @@ def main() -> None:
         nssm_target_window=2, nssm_pair_refine=True,
         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
         pair_refine_min_inliers=25,
-        refine_iters=2, refine_sweep=True,
+        refine_iters=2, refine_sweep=True, refine_chain=True,
     )
     params = SlamParams.default(dims)._replace(
         keyframe_translation=jnp.float32(2.0),

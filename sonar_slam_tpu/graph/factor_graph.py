@@ -55,7 +55,12 @@ class GraphConfig(NamedTuple):
     # reference equivalent (GTSAM could, the reference doesn't); a
     # framework capability beyond parity.
     estimate_scale: bool = False
-    scale_prior_sigma: float = 0.05  # prior on each log_scale (~5% 1-sigma)
+    # prior sigma on log_scale: scalar (both axes) or per-axis (sx, sy)
+    # tuple. The y axis deserves a much tighter prior than x on survey
+    # trajectories: lateral body velocity is a small fraction of forward
+    # (crab/sway only), so the y scale is weakly observed and, left loose,
+    # absorbs noise — measured to run away by 2-3% while x stays calibrated.
+    scale_prior_sigma: float | tuple = 0.05
 
 
 class GraphState(NamedTuple):
@@ -272,7 +277,9 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
         )
         b = b.at[srange].add(jnp.einsum("fas,fa->s", Js, r, precision=hp))
         # prior on each log_scale: (log_scale + ds - 0)^2 / sigma^2
-        w_s = 1.0 / config.scale_prior_sigma**2
+        sp = config.scale_prior_sigma
+        sx, sy = (sp, sp) if isinstance(sp, float) else sp
+        w_s = jnp.asarray([1.0 / sx**2, 1.0 / sy**2], jnp.float32)
         H = H.at[srange, srange].add(w_s)
         b = b.at[srange].add(w_s * state.log_scale)
 

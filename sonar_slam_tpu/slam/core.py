@@ -156,7 +156,8 @@ class SlamDims:
     # graph/factor_graph.py:GraphConfig.estimate_scale). Framework
     # capability beyond the reference.
     estimate_dvl_scale: bool = False
-    dvl_scale_prior_sigma: float = 0.05
+    dvl_scale_prior_sigma: float = 0.05  # x-axis (forward) prior
+    dvl_scale_prior_sigma_y: float = 0.01  # lateral: weakly observed, tight
     # post-convergence loop refinement (slam/refine.py): after the scan,
     # re-register every logged loop pair against the CURRENT optimized poses,
     # replace the factor measurements in place, re-optimize, iterate.
@@ -188,7 +189,8 @@ class SlamDims:
             max_factors=3 * self.max_keyframes + self.max_loops + 4,
             gn_iters=self.gn_iters,
             estimate_scale=self.estimate_dvl_scale,
-            scale_prior_sigma=self.dvl_scale_prior_sigma,
+            scale_prior_sigma=(self.dvl_scale_prior_sigma,
+                               self.dvl_scale_prior_sigma_y),
         )
 
     def agg_spec(self) -> VoxelGridSpec:
@@ -418,7 +420,13 @@ def _aggregate_window(
 
     With ``use_dr_relatives`` (and ``ref_key`` given), the WITHIN-WINDOW
     relative transforms come from raw dead-reckoning poses instead of the
-    optimized estimates (see SlamDims.aggregate_with_dr)."""
+    optimized estimates (see SlamDims.aggregate_with_dr), corrected by the
+    CURRENT DVL-scale estimate. Without the correction, window-internal
+    geometry stretches with the DVL's multiplicative bias, the sonar
+    measurements registered against those windows inherit roughly half the
+    stretch, and the scale estimate converges to the split difference
+    instead of the true bias (measured: recovering only ~50% of the
+    injected bias per full-pipeline pass)."""
     keys = first_key + jnp.arange(window)
     ok = (keys >= 0) & (keys < carry.num_kf)
     safe = jnp.clip(keys, 0, carry.points.shape[0] - 1)
@@ -427,7 +435,11 @@ def _aggregate_window(
     if use_dr_relatives:
         assert ref_key is not None
         ref_dr = carry.dr_poses[jnp.clip(ref_key, 0, carry.points.shape[0] - 1)]
-        rel = jax.vmap(lambda k: se2_between(ref_dr, carry.dr_poses[k]))(safe)
+        s = jnp.exp(carry.graph.log_scale)  # (2,) correction (1 = nominal)
+        rel = jax.vmap(
+            lambda k: se2_between(ref_dr, carry.dr_poses[k])
+            * jnp.asarray([1.0, 1.0, 1.0]).at[:2].set(s)
+        )(safe)
     else:
         rel = jax.vmap(lambda k: se2_between(ref_pose, carry.poses[k]))(safe)
     moved = jax.vmap(se2_transform_points)(pts, rel)
