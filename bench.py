@@ -202,7 +202,8 @@ def main() -> None:
         #  are multi-circuit-drift features; measured counterproductive on
         #  the short single-arc small config)
         kf_translation = 3.0
-        nssm_every = 2  # refine.py recovers the sparser search's recall
+        nssm_every = 3  # refine.py recovers the sparser search's recall
+        # (probed every in {1,2,3,4,6} x 3 seeds: 3 is accuracy-best on all)
     if args.nssm_every > 0:
         nssm_every = args.nssm_every
 

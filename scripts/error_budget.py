@@ -102,7 +102,7 @@ def bench_params(dims, kf_t, full: bool = False):
         nssm_min_points=jnp.asarray(50 if full else 20, jnp.int32),
         fuse_odometry=jnp.asarray(True),
         use_best_start_tf=jnp.asarray(True),
-        nssm_every=jnp.asarray(2 if full else 1, jnp.int32),
+        nssm_every=jnp.asarray(3 if full else 1, jnp.int32),
         odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
         icp_odom_sigmas=jnp.asarray(
             [0.2, 0.2, 0.02] if full else [0.3, 0.3, 0.03], jnp.float32),
@@ -204,6 +204,8 @@ def main():
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="")
+    ap.add_argument("--tpu", action="store_true",
+                    help="keep the ambient TPU platform (handled at import)")
     args = ap.parse_args()
 
     sim, dims, kf_t = setups(args.full)

@@ -75,9 +75,10 @@ def match_count_costs(
     N = source_points.shape[0]
 
     # chunk the sample axis: the full (S*N, M) distance matrix can reach
-    # gigabytes at NSSM sizes; 16-sample chunks keep the working set in tens
-    # of MB while every chunk is still one large MXU matmul
-    chunk = 16
+    # gigabytes at NSSM sizes; 32-sample chunks keep the working set
+    # ~134 MB at the largest config while halving the sequential chunk
+    # chain vs 16 (the per-keyframe NSSM cost is serial-latency-bound)
+    chunk = 32
     pad = (-S) % chunk
     tf_pad = jnp.concatenate([transforms, jnp.zeros((pad, 3), transforms.dtype)])
 
