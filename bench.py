@@ -227,8 +227,13 @@ def main() -> None:
         # covariance floor scales with the sonar's per-point noise: the
         # small config's 15.6 cm range bins make loop transforms ~2x
         # noisier than the full config's 5.9 cm bins
+        # xy floor scales with the sonar's per-point noise; the ROTATION
+        # sigma is deliberately weak (0.1 rad): in-scan SSM rotations carry
+        # the partial-overlap registration bias, and heading is already
+        # well-observed by the IMU + loops — weighting SSM rotation weakly
+        # measured heading ATE 0.5-0.6 -> 0.2-0.3 deg at par xy (r3 probes)
         icp_odom_sigmas=jnp.asarray(
-            [0.3, 0.3, 0.03] if args.small else [0.2, 0.2, 0.02],
+            [0.3, 0.3, 0.1] if args.small else [0.2, 0.2, 0.1],
             jnp.float32),
     )
     if args.icp_floor > 0:
@@ -457,7 +462,11 @@ def main() -> None:
                 ssm_min_points=params.ssm_min_points,
                 nssm_min_points=params.nssm_min_points,
                 odom_sigmas=params.odom_sigmas,
-                icp_odom_sigmas=params.icp_odom_sigmas,
+                # reference-faithful floor (slam.yaml icp_odom_sigmas
+                # semantics) — NOT the production rotation-weak floor
+                icp_odom_sigmas=jnp.asarray(
+                    [0.3, 0.3, 0.03] if args.small else [0.2, 0.2, 0.02],
+                    jnp.float32),
             )
 
             @jax.jit

@@ -105,7 +105,7 @@ def bench_params(dims, kf_t, full: bool = False):
         nssm_every=jnp.asarray(3 if full else 1, jnp.int32),
         odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
         icp_odom_sigmas=jnp.asarray(
-            [0.2, 0.2, 0.02] if full else [0.3, 0.3, 0.03], jnp.float32),
+            [0.2, 0.2, 0.1] if full else [0.3, 0.3, 0.1], jnp.float32),
     )
 
 

@@ -55,7 +55,7 @@ def main():
         fuse_odometry=jnp.asarray(True),
         use_best_start_tf=jnp.asarray(True),
         odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
-        icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.03], jnp.float32),
+        icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.1], jnp.float32),
     )
     res = replay(bag, FeatureConfig(max_points=128), p, dims)
     out = os.path.join(os.path.dirname(os.path.dirname(

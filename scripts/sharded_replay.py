@@ -94,7 +94,7 @@ def main() -> None:
         fuse_odometry=jnp.asarray(True),
         use_best_start_tf=jnp.asarray(True),
         odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
-        icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.03], jnp.float32),
+        icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.1], jnp.float32),
     )
     fc = FeatureConfig(max_points=128)
 

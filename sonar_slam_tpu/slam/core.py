@@ -298,6 +298,10 @@ class SlamCarry(NamedTuple):
     pmasks: jax.Array  # (K, N)
     num_kf: jax.Array  # int32
     graph: GraphState
+    # factor slot of each keyframe's successful SSM factor (-1 when SSM
+    # failed / fell back to odometry): lets refine.py REPLACE the in-scan
+    # sequential measurements with converged-seed re-registrations
+    ssm_slot: jax.Array  # (K,) int32
     # PCM queue (ring buffer)
     q_source: jax.Array  # (Q,) int32
     q_target: jax.Array  # (Q,) int32
@@ -346,6 +350,7 @@ def slam_init(dims: SlamDims) -> SlamCarry:
         pmasks=jnp.zeros((K, N), bool),
         num_kf=jnp.asarray(0, jnp.int32),
         graph=graph_init(dims.graph_config()),
+        ssm_slot=jnp.full((K,), -1, jnp.int32),
         q_source=jnp.zeros((Q,), jnp.int32),
         q_target=jnp.zeros((Q,), jnp.int32),
         q_tf=jnp.zeros((Q, 3), f),
@@ -589,6 +594,7 @@ def keyframe_step(
         sigmas_to_sqrt_info(params.icp_odom_sigmas)
     )
     sq = jnp.where(ssm_ok, sq_ssm, sigmas_to_sqrt_info(params.odom_sigmas))
+    fslot_ssm = graph.num_factors  # where the next add_between writes
     # optional Cauchy robustification of scan-match factors: bounds the
     # influence of the occasional wall-sliding ICP outlier (the reference
     # ships the robust models, slam.py:1177-1208, but leaves SSM factors
@@ -624,6 +630,8 @@ def keyframe_step(
     )
 
     # append keyframe to carry arrays
+    ssm_inserted = ssm_ok & (~is_first) & frame.valid
+
     def appended(c: SlamCarry) -> SlamCarry:
         return c._replace(
             times=c.times.at[key].set(frame.time),
@@ -632,6 +640,9 @@ def keyframe_step(
             points=c.points.at[key].set(frame.points),
             pmasks=c.pmasks.at[key].set(frame.pmask),
             num_kf=c.num_kf + 1,
+            ssm_slot=c.ssm_slot.at[key].set(
+                jnp.where(ssm_inserted, fslot_ssm, -1)
+            ),
         )
 
     carry = jax.lax.cond(frame.valid, appended, lambda c: c, carry)

@@ -206,13 +206,13 @@ def _remeasure(
     sq = jax.vmap(cov_to_sqrt_info)(cov)
 
     g = carry.graph
-    slots = jnp.clip(carry.loops_slot, 0, g.f_z.shape[0] - 1)
-    f_z = g.f_z.at[slots].set(jnp.where(use[:, None], z, g.f_z[slots]))
-    f_sq = g.f_sqrt_info.at[slots].set(
-        jnp.where(use[:, None, None], sq, g.f_sqrt_info[slots])
-    )
-    f_rb = g.f_robust.at[slots].set(
-        jnp.where(use, rp.robust, g.f_robust[slots])
+    # disabled lanes scatter out of bounds and drop (a clipped index could
+    # alias a real factor slot)
+    safe = jnp.where(use, carry.loops_slot, g.f_z.shape[0])
+    f_z = g.f_z.at[safe].set(z, mode="drop")
+    f_sq = g.f_sqrt_info.at[safe].set(sq, mode="drop")
+    f_rb = g.f_robust.at[safe].set(
+        jnp.broadcast_to(rp.robust, use.shape), mode="drop"
     )
     return carry._replace(
         graph=g._replace(f_z=f_z, f_sqrt_info=f_sq, f_robust=f_rb),
@@ -252,19 +252,23 @@ def _covisibility(carry: SlamCarry, dims: SlamDims) -> jax.Array:
 def _densify_chain(
     carry: SlamCarry, params, rp, dims: SlamDims, mesh: Mesh | None = None
 ) -> SlamCarry:
-    """Re-register every CONSECUTIVE keyframe pair from the converged poses
-    and add the result as a tight sequential factor.
+    """Re-register every CONSECUTIVE keyframe pair from the converged poses;
+    REPLACE the in-scan SSM measurement where one exists, add a tight
+    sequential factor where SSM fell back to odometry.
 
-    The in-scan SSM factors carry the reference's fixed covariance floor
-    (`icp_odom_sigmas`, 20 cm at the full config — slam.py:382-386), priced
-    for drift-seeded measurements; tightening that floor in-scan is
-    catastrophic (measured: biased in-scan loop measurements share it and
-    bend the graph 10x). Post-convergence, the same pairs re-register to
-    centimeters, so adding them at an honest weight stiffens the
-    inter-anchor odometry chain — the dominant residual once loops are
-    accurate — and sharpens the DVL-scale estimate (each pair is one more
-    strong metric-vs-scaled contrast). New factors are added (the weak
-    originals stay; their information is negligible at 16x the sigma)."""
+    Two measured reasons. (1) Weight: the in-scan SSM factors carry the
+    reference's fixed covariance floor (`icp_odom_sigmas`, 20 cm at the
+    full config — slam.py:382-386), priced for drift-seeded measurements;
+    tightening that floor in-scan is catastrophic (shared with the in-scan
+    loop floor, 13-25x ATE blowup), while the converged-seed registrations
+    deserve centimeter weights. (2) Bias: in-scan SSM registers a fresh
+    keyframe against the trailing WINDOW — a partial-overlap pairing whose
+    boundary pull biases translations ~0.5% short and rotations with it
+    (disabling SSM factors entirely measured heading ATE 0.62 -> 0.21 deg
+    and consistently moved the DVL-scale estimate toward truth); the
+    consecutive single-frame pairs here overlap ~90%, so the bias mechanism
+    is absent. Replacement keeps in-scan drift control AND removes the
+    biased measurements from the converged graph."""
     K = dims.max_keyframes
     idx = jnp.arange(K)
 
@@ -291,15 +295,32 @@ def _densify_chain(
         return ok, rr.pose, cov
 
     ok, z, cov = _lane_map(one, carry, (idx,), mesh)
+    sq = jax.vmap(cov_to_sqrt_info)(cov)
+
+    # replace in place where an in-scan SSM factor exists (disabled lanes
+    # scatter out of bounds and drop — a clipped index could alias slot 0)
+    g = carry.graph
+    have_ssm = carry.ssm_slot >= 0
+    rep = ok & have_ssm
+    F = g.f_z.shape[0]
+    safe = jnp.where(rep, carry.ssm_slot, F)
+    g = g._replace(
+        f_z=g.f_z.at[safe].set(z, mode="drop"),
+        f_sqrt_info=g.f_sqrt_info.at[safe].set(sq, mode="drop"),
+        f_robust=g.f_robust.at[safe].set(
+            jnp.broadcast_to(rp.robust, rep.shape), mode="drop"
+        ),
+    )
+    carry = carry._replace(graph=g)
 
     from ..graph.factor_graph import add_between
 
     def insert_one(c: SlamCarry, k):
-        g = add_between(
+        g2 = add_between(
             c.graph, k - 1, k, z[k], cov_to_sqrt_info(cov[k]),
-            robust=rp.robust, enabled=ok[k],
+            robust=rp.robust, enabled=ok[k] & ~have_ssm[k],
         )
-        return c._replace(graph=g), None
+        return c._replace(graph=g2), None
 
     carry, _ = jax.lax.scan(insert_one, carry, idx)
     return carry
