@@ -31,6 +31,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--production", action="store_true",
+                    help="bench.py full production dims (p2l, windows)")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -65,6 +67,24 @@ def main():
                         max_loops=16, gn_iters=3,
                         icp=ICPConfig(min_diff_rot=1e-3, min_diff_trans=1e-2))
         kf_t = 2.0
+    elif args.production:
+        # the bench.py full production stack (p2l, windows, 12 starts)
+        sim = SimConfig(duration=480.0, speed=0.5, sonar_rate=5.0,
+                        num_ranges=512, num_bearings=256, loop_radius=18.0,
+                        imu_rate=50.0)
+        dims = SlamDims(max_keyframes=128, max_points=256,
+                        target_capacity=1024, nssm_cov_samples=12,
+                        ssm_sobol=64, nssm_sobol=512, max_loops=64,
+                        gn_iters=3,
+                        icp=ICPConfig(max_iterations=12, min_diff_rot=1e-3,
+                                      min_diff_trans=1e-2, point_to_line=True,
+                                      outlier_max_dist=0.5),
+                        nssm_target_window=2, nssm_pair_refine=True,
+                        pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
+                        pair_refine_min_inliers=25,
+                        nssm_reinit_after_select=True, aggregate_with_dr=True,
+                        estimate_dvl_scale=True)
+        kf_t = 3.0
     else:
         sim = SimConfig(duration=480.0, speed=0.5, sonar_rate=5.0,
                         num_ranges=512, num_bearings=256, loop_radius=18.0,

@@ -219,3 +219,31 @@ def test_refine_disabled_is_identity():
     out = refine_loops(carry, params, RefineParams.default(), dims)
     np.testing.assert_array_equal(np.asarray(out.poses),
                                   np.asarray(carry.poses))
+
+
+def test_chain_replaces_ssm_measurements():
+    """When the carry records in-scan SSM factor slots, the chain stage
+    REPLACES those measurements in place (no duplicate factor) with the
+    converged-seed registration at the refine floor."""
+    dims = _dims(refine_sweep=False, refine_chain=True, refine_iters=1)
+    carry, truth = _build_carry(dims, with_loop=False)
+    # pretend keyframes 3..6 have in-scan SSM factors: their chain factors
+    # are the odometry betweens added by _build_carry at slots k-1
+    slots = {k: k - 1 for k in range(3, 7)}  # factor k-1 connects (k-1, k)
+    ssm_slot = np.full(K, -1, np.int32)
+    for k, s in slots.items():
+        ssm_slot[k] = s
+    carry = carry._replace(ssm_slot=jnp.asarray(ssm_slot))
+    params = _params(dims)
+    nf_before = int(carry.graph.num_factors)
+    out = refine_loops(carry, params, RefineParams.default(), dims)
+    # replaced slots now hold a (3,) measurement close to the true between
+    for k, s in slots.items():
+        z = np.asarray(out.graph.f_z[s])
+        tz = np.asarray(se2_between(jnp.asarray(truth[k - 1]),
+                                    jnp.asarray(truth[k])))
+        assert np.linalg.norm(z[:2] - tz[:2]) < 0.1, (k, z, tz)
+        assert bool(out.graph.f_robust[s])  # refine floor semantics applied
+    # factors were added ONLY for keyframes without an SSM slot
+    added = int(out.graph.num_factors) - nf_before
+    assert added <= K - len(slots)
