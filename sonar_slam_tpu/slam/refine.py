@@ -449,6 +449,9 @@ def refine_loops(
         carry = opt(_remeasure(carry, params, rp, dims, mesh))
         if it == 0 and dims.refine_chain:
             carry = opt(_densify_chain(carry, params, rp, dims, mesh))
+        # the sweep runs EVERY iteration: the first pass's corrections open
+        # new consistent pairs for the next (probed: sweep-once loses ~1/3
+        # of the final loops and 1.4 cm ATE on seed 0)
         if dims.refine_sweep:
             carry = opt(_sweep(carry, params, rp, dims, mesh))
     return carry
