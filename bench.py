@@ -115,6 +115,10 @@ def main() -> None:
                          "(m; traced, 0 = default)")
     ap.add_argument("--refine-robust", type=int, default=-1,
                     help="override Cauchy-robust refined loops (0/1, traced)")
+    ap.add_argument("--refine-iters", type=int, default=0,
+                    help="override refinement iterations (STATIC - "
+                         "recompiles; 3 measured seed-0 ATE 14.6->13.4 cm "
+                         "at ~35x throughput cost)")
     ap.add_argument("--dump", default="",
                     help="write trajectory/truth/loops npz for analysis")
     ap.add_argument("--icp-floor", type=float, default=0.0,
@@ -206,6 +210,10 @@ def main() -> None:
         # (probed every in {1,2,3,4,6} x 3 seeds: 3 is accuracy-best on all)
     if args.nssm_every > 0:
         nssm_every = args.nssm_every
+    if args.refine_iters > 0:
+        from dataclasses import replace as _dcr0
+
+        dims = _dcr0(dims, refine_iters=args.refine_iters)
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()

@@ -247,3 +247,40 @@ def test_chain_replaces_ssm_measurements():
     # factors were added ONLY for keyframes without an SSM slot
     added = int(out.graph.num_factors) - nf_before
     assert added <= K - len(slots)
+
+
+def test_nssm_cadence_skips_off_cycle_keyframes():
+    """SlamParams.nssm_every gates the in-scan loop search to every n-th
+    keyframe (traced — the throughput/accuracy knob the refinement pass
+    makes cheap)."""
+    from sonar_slam_tpu.slam import KeyframeInput, slam_scan
+
+    dims = _dims(refine_iters=0)
+    rng = np.random.default_rng(1)
+    truth = np.zeros((K, 3), np.float32)
+    truth[:, 0] = np.arange(K) * 1.0
+    pts = np.zeros((K, N, 2), np.float32)
+    msk = np.zeros((K, N), bool)
+    for k in range(K):
+        pts[k], msk[k] = _frame_cloud(rng, truth[k], offset=0.05 * k)
+    pose3 = np.zeros((K, 6), np.float32)
+    pose3[:, 0] = truth[:, 0]
+    frames = KeyframeInput(
+        time=jnp.arange(K, dtype=jnp.float32) * 2.0,
+        dr_pose3=jnp.asarray(pose3),
+        points=jnp.asarray(pts),
+        pmask=jnp.asarray(msk),
+        valid=jnp.ones(K, bool),
+    )
+    params = _params(dims)._replace(
+        keyframe_duration=jnp.float32(0.5),
+        nssm_every=jnp.asarray(3, jnp.int32),
+    )
+    _, outs = slam_scan(frames, params, dims)
+    from sonar_slam_tpu.slam.core import STATUS_NOT_ENOUGH_POINTS
+
+    status = np.asarray(outs.nssm_status)
+    # off-cycle keyframes never run the search (status = skip sentinel)
+    for k in range(dims.nssm_min_st_sep, K):
+        if k % 3 != 0:
+            assert status[k] == STATUS_NOT_ENOUGH_POINTS, (k, status[k])
