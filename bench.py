@@ -78,7 +78,9 @@ def loop_metrics(carry, truth_kf, min_st_sep, prox_radius, correct_tol=0.30):
     )
     opp_j = opp.any(axis=0)  # source keyframes with a revisit opportunity
     det_j = np.zeros(nk, bool)
-    det_j[lj[lj < nk]] = True
+    # only CORRECT loops count toward recall (ADVICE r3) — a wrong loop on a
+    # revisit keyframe must not mark the opportunity as converted
+    det_j[lj[(lj < nk) & correct]] = True
     n_opp = int(opp_j.sum())
     return {
         "precision": round(float(correct.mean()), 3) if nl else None,
@@ -104,7 +106,8 @@ def main() -> None:
     ap.add_argument("--no-dual", action="store_true",
                     help="skip the dual-sonar z-accuracy line")
     ap.add_argument("--stages", action="store_true",
-                    help="also run a per-stage (blocking) diagnostic repeat")
+                    help="(kept for compatibility; the per-stage diagnostic "
+                         "repeat now always runs so stages_ms is never empty)")
     ap.add_argument("--nssm-every", type=int, default=0,
                     help="override the in-scan loop-search cadence (traced; "
                          "0 = config default)")
@@ -397,8 +400,10 @@ def main() -> None:
         carry, kf_idx, occ = device_pipeline()
         times.append(time.time() - t0)
     wall = float(np.median(times))
-    if args.stages:
-        device_pipeline(diagnostic=True)  # per-stage blocking breakdown
+    # per-stage blocking breakdown — always run one diagnostic repeat so the
+    # driver-captured JSON carries non-empty stages_ms (VERDICT r3 #6); the
+    # timed repeats above stay non-blocking
+    device_pipeline(diagnostic=True)
     occupied = int(np.sum(np.asarray(occ) > 55))
 
     nk = int(carry.num_kf)

@@ -278,7 +278,8 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
         b = b.at[srange].add(jnp.einsum("fas,fa->s", Js, r, precision=hp))
         # prior on each log_scale: (log_scale + ds - 0)^2 / sigma^2
         sp = config.scale_prior_sigma
-        sx, sy = (sp, sp) if isinstance(sp, float) else sp
+        # scalar (incl. int / np.floating) -> both axes; else per-axis pair
+        sx, sy = sp if isinstance(sp, (tuple, list)) else (sp, sp)
         w_s = jnp.asarray([1.0 / sx**2, 1.0 / sy**2], jnp.float32)
         H = H.at[srange, srange].add(w_s)
         b = b.at[srange].add(w_s * state.log_scale)
@@ -375,7 +376,7 @@ def marginal_covariance(state: GraphState, k, config: GraphConfig) -> jax.Array:
     with jax.default_matmul_precision("highest"):
         H, _ = _assemble_normal_equations(state, config)
         L = jnp.linalg.cholesky(H)
-        n = 3 * config.max_poses + (1 if config.estimate_scale else 0)
+        n = 3 * config.max_poses + (2 if config.estimate_scale else 0)
         e = jnp.zeros((n, 3), jnp.float32)
         rows = 3 * jnp.asarray(k, jnp.int32) + jnp.arange(3)
         e = e.at[rows, jnp.arange(3)].set(1.0)

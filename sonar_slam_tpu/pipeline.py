@@ -261,8 +261,12 @@ def replay(
 
 
 def _umeyama_rotation(est: np.ndarray, truth: np.ndarray) -> np.ndarray:
-    """Best SE(2) alignment rotation est->truth (Umeyama, no scale)."""
-    a, b = est[:, :2], truth[:, :2]
+    """Best SE(2) alignment rotation est->truth (Umeyama, no scale).
+
+    Unequal lengths are expected (truncated replays); align over the
+    common prefix (ADVICE r3)."""
+    n = min(len(est), len(truth))
+    a, b = est[:n, :2], truth[:n, :2]
     A, B = a - a.mean(0), b - b.mean(0)
     U, _, Vt = np.linalg.svd(A.T @ B)
     d = np.sign(np.linalg.det(Vt.T @ U.T))
@@ -272,11 +276,12 @@ def _umeyama_rotation(est: np.ndarray, truth: np.ndarray) -> np.ndarray:
 def ate_rmse(est: np.ndarray, truth: np.ndarray, align: bool = True) -> float:
     """Absolute trajectory error (RMSE over xy) after optional SE(2) alignment
     (Umeyama, no scale) — the benchmark metric from BASELINE.md."""
-    a, b = est[:, :2], truth[:, :2]
+    n = min(len(est), len(truth))
+    a, b = est[:n, :2], truth[:n, :2]
     if align and len(a) >= 2:
         R = _umeyama_rotation(est, truth)
         a = (R @ (a - a.mean(0)).T).T + b.mean(0)
-    return float(np.sqrt(np.mean(np.sum((a - b[: len(a)]) ** 2, axis=1))))
+    return float(np.sqrt(np.mean(np.sum((a - b) ** 2, axis=1))))
 
 
 def ate_heading_deg(

@@ -896,7 +896,10 @@ def keyframe_step(
         to_insert = accept_mask & ~c.q_inserted
 
         def insert_one(cc: SlamCarry, qi):
-            en = to_insert[qi]
+            # capacity gate (ADVICE r3): past max_loops the clipped log slot
+            # would clobber loops_slot and add_between would overrun the
+            # factor table — drop further loops instead (mirrors _sweep)
+            en = to_insert[qi] & (cc.num_loops < dims.max_loops)
             fslot = cc.graph.num_factors  # where add_between writes if enabled
             g = add_between(
                 cc.graph,

@@ -125,3 +125,94 @@ def test_marginal_covariance_with_scale_variable():
     assert cov.shape == (3, 3)
     assert np.isfinite(cov).all()
     assert (np.diag(cov) > 0).all()
+
+
+def test_standalone_marginal_covariance_with_scale_variable():
+    """Round-3 verdict bug: `marginal_covariance` sized its solve vector
+    `3K+1` while the normal equations are `3K+2` wide under
+    estimate_scale=True, so `cho_solve` raised on every scale-enabled config
+    (the shipped full production config). Must match the fused-path
+    `optimize_with_marginal` covariance exactly."""
+    from sonar_slam_tpu.graph.factor_graph import marginal_covariance
+
+    g, cfg, _ = _build_graph(estimate_scale=True)
+    g, cov_fused = optimize_with_marginal(g, 5, cfg)
+    cov_standalone = np.asarray(marginal_covariance(g, 5, cfg))
+    assert cov_standalone.shape == (3, 3)
+    assert np.isfinite(cov_standalone).all()
+    np.testing.assert_allclose(cov_standalone, np.asarray(cov_fused),
+                               rtol=1e-5, atol=1e-9)
+
+
+def test_smoother_marginal_covariance_with_scale():
+    """Smoother facade path under estimate_scale=True (crashed pre-fix)."""
+    from sonar_slam_tpu.graph.factor_graph import Smoother
+
+    cfg = GraphConfig(max_poses=8, max_factors=32, gn_iters=8,
+                      estimate_scale=True, scale_prior_sigma=0.05)
+    s = Smoother(cfg)
+    s.add_prior([0, 0, 0], [0.01, 0.01, 0.001])
+    s.insert(0, [0, 0, 0])
+    s.add_odometry(0, 1, [1.0, 0.0, 0.1], [0.1, 0.1, 0.01])
+    s.insert(1, [1.0, 0.0, 0.1])
+    s.update()
+    cov = np.asarray(s.marginal_covariance(1))
+    assert cov.shape == (3, 3)
+    assert np.isfinite(cov).all() and (np.diag(cov) > 0).all()
+
+
+@pytest.mark.parametrize(
+    # no list case: GraphConfig rides through jit static args, so values
+    # must stay hashable — tuple is the supported sequence form
+    "sp", [0.05, 1, np.float64(0.05), np.float32(0.05), (0.05, 0.01)]
+)
+def test_scale_prior_sigma_scalar_types(sp):
+    """ADVICE r3: int / np.floating scalars raised TypeError in the
+    tuple-unpack of scale_prior_sigma. Any scalar type or 2-sequence must
+    assemble."""
+    n = 4
+    cfg = GraphConfig(max_poses=n, max_factors=2 * n, gn_iters=4,
+                      estimate_scale=True, scale_prior_sigma=sp)
+    g = graph_init(cfg)
+    g = add_prior(g, [0, 0, 0], sigmas_to_sqrt_info([0.01, 0.01, 0.001]))
+    for k in range(n):
+        g = set_pose_estimate(g, k, [float(k), 0.0, 0.0])
+    for k in range(n - 1):
+        g = add_between(g, k, k + 1, jnp.asarray([1.0, 0.0, 0.0]),
+                        sigmas_to_sqrt_info([0.02, 0.02, 0.002]), scaled=True)
+    g = optimize(g, cfg)
+    assert np.isfinite(np.asarray(g.poses)).all()
+
+
+def test_get_states_and_pose_uncertainty_with_scale_config():
+    """get_states(refresh_covs=True) and services.query_pose_uncertainty on
+    an estimate_dvl_scale=True SlamDims — the two shipped-config consumers
+    that crashed in round 3 (io/state.py:60, slam/services.py:73)."""
+    from sonar_slam_tpu.io.state import get_states
+    from sonar_slam_tpu.slam.core import SlamDims, slam_init
+    from sonar_slam_tpu.slam.services import query_pose_uncertainty
+
+    dims = SlamDims(max_keyframes=8, max_points=16, target_capacity=32,
+                    max_loops=4, pcm_queue_slots=3, estimate_dvl_scale=True)
+    carry = slam_init(dims)
+    graph = carry.graph
+    graph = add_prior(graph, [0.0, 0.0, 0.0],
+                      sigmas_to_sqrt_info([0.01, 0.01, 0.001]))
+    graph = set_pose_estimate(graph, 1, [1.0, 0.0, 0.0])
+    graph = add_between(graph, 0, 1, jnp.asarray([1.0, 0.0, 0.0]),
+                        sigmas_to_sqrt_info([0.1, 0.1, 0.01]), scaled=True)
+    graph = optimize(graph, dims.graph_config())
+    carry = carry._replace(
+        graph=graph,
+        num_kf=jnp.asarray(2, jnp.int32),
+        times=carry.times.at[:2].set(jnp.asarray([10.0, 11.0])),
+        poses=graph.poses[: carry.poses.shape[0]],
+    )
+    st = get_states(carry, dims, refresh_covs=True)
+    assert len(st) == 2
+    assert np.isfinite(st["cov"]).all()
+    covs = np.asarray(
+        query_pose_uncertainty(carry, dims, jnp.asarray([0, 1]))
+    )
+    assert covs.shape == (2, 3, 3)
+    assert np.isfinite(covs).all()
