@@ -122,6 +122,15 @@ def main() -> None:
                     help="override refinement iterations (STATIC - "
                          "recompiles; 3 measured seed-0 ATE 14.6->13.4 cm "
                          "at ~35x throughput cost)")
+    ap.add_argument("--sweep-topk", type=int, default=0,
+                    help="override refine_sweep_topk (STATIC - recompiles; "
+                         "0 = config default)")
+    ap.add_argument("--refine-incremental", type=int, default=-1,
+                    help="override refine_incremental (STATIC - recompiles; "
+                         "-1 = config default)")
+    ap.add_argument("--chain-floor", type=float, default=0.0,
+                    help="override the densified-chain covariance floor "
+                         "sigma (m; traced, 0 = default)")
     ap.add_argument("--dump", default="",
                     help="write trajectory/truth/loops npz for analysis")
     ap.add_argument("--icp-floor", type=float, default=0.0,
@@ -217,6 +226,14 @@ def main() -> None:
         from dataclasses import replace as _dcr0
 
         dims = _dcr0(dims, refine_iters=args.refine_iters)
+    if args.sweep_topk > 0:
+        from dataclasses import replace as _dcr1
+
+        dims = _dcr1(dims, refine_sweep_topk=args.sweep_topk)
+    if args.refine_incremental >= 0:
+        from dataclasses import replace as _dcr2
+
+        dims = _dcr2(dims, refine_incremental=bool(args.refine_incremental))
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()
@@ -255,6 +272,10 @@ def main() -> None:
     if args.refine_floor > 0:
         rparams = rparams._replace(floor_sigmas=jnp.asarray(
             [args.refine_floor, args.refine_floor, args.refine_floor / 5.0],
+            jnp.float32))
+    if args.chain_floor > 0:
+        rparams = rparams._replace(chain_floor_sigmas=jnp.asarray(
+            [args.chain_floor, args.chain_floor, args.chain_floor / 5.0],
             jnp.float32))
     if args.refine_robust >= 0:
         rparams = rparams._replace(robust=jnp.asarray(bool(args.refine_robust)))

@@ -83,6 +83,17 @@ class RefineParams(NamedTuple):
     # occasional bad re-registration cannot dominate at the tighter weight.
     floor_sigmas: jax.Array  # (3,)
     robust: jax.Array  # bool: Cauchy-robustify refined/swept loop factors
+    # incremental re-measurement (dims.refine_incremental): a lane is
+    # re-registered on iterations >= 1 only when the RELATIVE pose of its
+    # endpoints changed by more than this since the lane's last registration
+    # (rigid drifts of the whole graph leave the measurement invariant, so
+    # relative motion — not absolute — is the right invalidation signal)
+    move_gate_t: jax.Array  # (m)
+    move_gate_r: jax.Array  # (rad)
+    # separate covariance floor for the densified CHAIN factors: consecutive
+    # ~90%-overlap registrations are the best-conditioned measurements in
+    # the graph and can carry a tighter floor than re-measured loops
+    chain_floor_sigmas: jax.Array  # (3,)
 
     @staticmethod
     def default() -> "RefineParams":
@@ -96,6 +107,9 @@ class RefineParams(NamedTuple):
             prox_radius=f(20.0),
             floor_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
             robust=jnp.asarray(True),
+            move_gate_t=f(0.01),
+            move_gate_r=f(0.002),
+            chain_floor_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
         )
 
 
@@ -220,6 +234,75 @@ def _remeasure(
     )
 
 
+def _loops_between(carry: SlamCarry) -> jax.Array:
+    """(Lcap, 3) current relative pose of each logged loop's endpoints."""
+    K = carry.points.shape[0]
+    si = jnp.clip(carry.loops_i, 0, K - 1)
+    sj = jnp.clip(carry.loops_j, 0, K - 1)
+    return jax.vmap(se2_between)(carry.poses[si], carry.poses[sj])
+
+
+def _remeasure_moved(
+    carry: SlamCarry,
+    reg_between: jax.Array,  # (Lcap, 3) endpoint relative pose at last reg
+    params,
+    rp,
+    dims: SlamDims,
+    mesh: Mesh | None = None,
+):
+    """Incremental re-measurement: re-register only the loop lanes whose
+    endpoint RELATIVE pose moved beyond the gate since their last
+    registration, compacted to a static ``max_loops // 2`` budget.
+
+    Rigid motion of the whole graph leaves every loop measurement exactly
+    valid, so relative — not absolute — endpoint motion is the invalidation
+    signal. Compaction (top-k gather into a half-size batch) is what makes
+    this a real saving on TPU: a masked lane inside vmap still burns its
+    full ICP compute. Returns (carry, reg_between) with the snapshot
+    refreshed for successfully re-registered lanes."""
+    Lcap = dims.max_loops
+    B = max(1, Lcap // 2)
+    lane = jnp.arange(Lcap)
+    valid = lane < jnp.minimum(carry.num_loops, Lcap)
+
+    now = _loops_between(carry)
+    d = jax.vmap(se2_between)(reg_between, now)
+    dt = jnp.linalg.norm(d[:, :2], axis=-1)
+    dr = jnp.abs(d[:, 2])
+    moved = valid & ((dt > rp.move_gate_t) | (dr > rp.move_gate_r))
+    # rank by movement (rotation priced at ~5 m/rad — mid-range lever arm)
+    score = jnp.where(moved, dt + 5.0 * dr, -1.0)
+    _, sel = jax.lax.top_k(score, B)
+    active = jnp.take(score, sel) > 0.0
+
+    ok, z, cov = _lane_map(
+        lambda c, l: _register_pair(
+            c, c.loops_i[l], c.loops_j[l], params, rp, dims
+        ),
+        carry, (sel,), mesh,
+    )
+    use = ok & active
+    sq = jax.vmap(cov_to_sqrt_info)(cov)
+
+    g = carry.graph
+    F = g.f_z.shape[0]
+    safe = jnp.where(use, carry.loops_slot[sel], F)
+    g = g._replace(
+        f_z=g.f_z.at[safe].set(z, mode="drop"),
+        f_sqrt_info=g.f_sqrt_info.at[safe].set(sq, mode="drop"),
+        f_robust=g.f_robust.at[safe].set(
+            jnp.broadcast_to(rp.robust, use.shape), mode="drop"
+        ),
+    )
+    safe_lane = jnp.where(use, sel, Lcap)
+    carry = carry._replace(
+        graph=g,
+        loops_tf=carry.loops_tf.at[safe_lane].set(z, mode="drop"),
+    )
+    reg_between = reg_between.at[safe_lane].set(now[sel], mode="drop")
+    return carry, reg_between
+
+
 def _covisibility(carry: SlamCarry, dims: SlamDims) -> jax.Array:
     """(K, K) mutual co-visibility counts under the current poses:
     ``C[a, b] = #points of frame b inside frame a's FOV wedge``, symmetrized
@@ -291,7 +374,7 @@ def _densify_chain(
         cov = localize_covariance(
             censi_covariance(rr.info, rr.mse, rr.pose), rr.pose
         )
-        cov, _ = apply_covariance_floor(cov, rp.floor_sigmas)
+        cov, _ = apply_covariance_floor(cov, rp.chain_floor_sigmas)
         return ok, rr.pose, cov
 
     ok, z, cov = _lane_map(one, carry, (idx,), mesh)
@@ -356,8 +439,13 @@ def _sweep(
         & (covis >= params.nssm_min_points)
     )
     score = jnp.where(eligible, covis, -1)
-    tgt_of = jnp.argmax(score, axis=0)  # most co-visible target per source j
-    has_tgt = jnp.max(score, axis=0) > 0
+    # top-k most co-visible targets per source j (k=1 == argmax; k>1 lifts
+    # the one-loop-per-source recall ceiling, round-3 verdict item 3)
+    topk = dims.refine_sweep_topk
+    vals, tgts = jax.lax.top_k(score.T, topk)  # (source j, k)
+    src_of = jnp.repeat(idx, topk)  # (K*topk,) lane axis
+    tgt_of = tgts.reshape(-1)
+    has_tgt = (vals > 0).reshape(-1)
 
     def one(c, j, i, has):
         guess = se2_between(c.poses[i], c.poses[j])
@@ -379,30 +467,30 @@ def _sweep(
         cov, _ = apply_covariance_floor(cov, rp.floor_sigmas)
         return ok, rr.pose, cov
 
-    ok, z, cov = _lane_map(one, carry, (idx, tgt_of, has_tgt), mesh)
+    ok, z, cov = _lane_map(one, carry, (src_of, tgt_of, has_tgt), mesh)
 
     from ..graph.factor_graph import add_between  # local: avoid cycle noise
 
-    def insert_one(c: SlamCarry, j):
-        en = ok[j] & (c.num_loops < dims.max_loops)
+    def insert_one(c: SlamCarry, l):
+        en = ok[l] & (c.num_loops < dims.max_loops)
         fslot = c.graph.num_factors
         g = add_between(
-            c.graph, tgt_of[j], j, z[j], cov_to_sqrt_info(cov[j]),
+            c.graph, tgt_of[l], src_of[l], z[l], cov_to_sqrt_info(cov[l]),
             robust=rp.robust, enabled=en,
         )
         slot = jnp.clip(c.num_loops, 0, dims.max_loops - 1)
         return c._replace(
             graph=g,
-            loops_i=jnp.where(en, c.loops_i.at[slot].set(tgt_of[j]), c.loops_i),
-            loops_j=jnp.where(en, c.loops_j.at[slot].set(j), c.loops_j),
-            loops_tf=jnp.where(en, c.loops_tf.at[slot].set(z[j]), c.loops_tf),
+            loops_i=jnp.where(en, c.loops_i.at[slot].set(tgt_of[l]), c.loops_i),
+            loops_j=jnp.where(en, c.loops_j.at[slot].set(src_of[l]), c.loops_j),
+            loops_tf=jnp.where(en, c.loops_tf.at[slot].set(z[l]), c.loops_tf),
             loops_slot=jnp.where(
                 en, c.loops_slot.at[slot].set(fslot), c.loops_slot
             ),
             num_loops=c.num_loops + en.astype(jnp.int32),
         ), None
 
-    carry, _ = jax.lax.scan(insert_one, carry, idx)
+    carry, _ = jax.lax.scan(insert_one, carry, jnp.arange(K * topk))
     return carry
 
 
@@ -445,13 +533,34 @@ def refine_loops(
         g = optimize(c.graph, gcfg)
         return c._replace(graph=g, poses=g.poses)
 
+    # per-lane endpoint relative pose at last registration (incremental
+    # invalidation state; only consulted when dims.refine_incremental)
+    reg_between = _loops_between(carry)
     for it in range(dims.refine_iters):
-        carry = opt(_remeasure(carry, params, rp, dims, mesh))
+        if it == 0 or not dims.refine_incremental:
+            # full pass — every lane registers from the current poses
+            carry = _remeasure(carry, params, rp, dims, mesh)
+            reg_between = _loops_between(carry)
+        else:
+            carry, reg_between = _remeasure_moved(
+                carry, reg_between, params, rp, dims, mesh
+            )
+        carry = opt(carry)
         if it == 0 and dims.refine_chain:
             carry = opt(_densify_chain(carry, params, rp, dims, mesh))
         # the sweep runs EVERY iteration: the first pass's corrections open
         # new consistent pairs for the next (probed: sweep-once loses ~1/3
         # of the final loops and 1.4 cm ATE on seed 0)
         if dims.refine_sweep:
+            n_before = carry.num_loops
             carry = opt(_sweep(carry, params, rp, dims, mesh))
+            if dims.refine_incremental:
+                # lanes the sweep just inserted were registered at the
+                # current poses — snapshot them so iteration it+1 doesn't
+                # immediately re-register fresh measurements
+                lane = jnp.arange(dims.max_loops)
+                fresh = (lane >= n_before) & (lane < carry.num_loops)
+                reg_between = jnp.where(
+                    fresh[:, None], _loops_between(carry), reg_between
+                )
     return carry

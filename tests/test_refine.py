@@ -249,6 +249,46 @@ def test_chain_replaces_ssm_measurements():
     assert added <= K - len(slots)
 
 
+def test_sweep_topk_superset_of_argmax():
+    """refine_sweep_topk=2 finds at least the argmax pass's loops, inserts
+    no duplicate pairs, and every extra loop is accurate vs truth."""
+    d1 = _dims(refine_sweep=True, refine_sweep_topk=1)
+    d2 = _dims(refine_sweep=True, refine_sweep_topk=2)
+    carry, truth = _build_carry(d1, with_loop=False)
+    params = _params(d1)
+    out1 = refine_loops(carry, params, RefineParams.default(), d1)
+    out2 = refine_loops(carry, params, RefineParams.default(), d2)
+    n1, n2 = int(out1.num_loops), int(out2.num_loops)
+    assert n2 >= n1, (n1, n2)
+    pairs2 = [(int(out2.loops_i[l]), int(out2.loops_j[l])) for l in range(n2)]
+    assert len(set(pairs2)) == n2, "duplicate loop pair inserted"
+    for l in range(n2):
+        i, j = pairs2[l]
+        z_true = np.asarray(se2_between(jnp.asarray(truth[i]),
+                                        jnp.asarray(truth[j])))
+        err = np.linalg.norm(np.asarray(out2.loops_tf[l])[:2] - z_true[:2])
+        assert err < 0.08, (i, j, err)
+
+
+def test_incremental_matches_full_refinement():
+    """dims.refine_incremental compacts iteration>=1 re-measurement to the
+    moved lanes; the refined poses must match the full (every-lane) path
+    closely — the verdict bar is ATE within 0.5 cm, the unit pin is per-pose
+    agreement well under that."""
+    df = _dims(refine_sweep=True, refine_iters=2)
+    di = _dims(refine_sweep=True, refine_iters=2, refine_incremental=True)
+    carry, truth = _build_carry(df, loop_bias=(0.25, -0.2, 0.02))
+    params = _params(df)
+    rp = RefineParams.default()
+    out_f = refine_loops(carry, params, rp, df)
+    out_i = refine_loops(carry, params, rp, di)
+    K_real = int(carry.num_kf)
+    d = np.abs(np.asarray(out_f.poses)[:K_real, :2]
+               - np.asarray(out_i.poses)[:K_real, :2])
+    assert d.max() < 5e-3, d.max()
+    assert int(out_i.num_loops) == int(out_f.num_loops)
+
+
 def test_nssm_cadence_skips_off_cycle_keyframes():
     """SlamParams.nssm_every gates the in-scan loop search to every n-th
     keyframe (traced — the throughput/accuracy knob the refinement pass
