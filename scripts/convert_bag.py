@@ -22,27 +22,57 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def decode_ping_image(ping: dict, gamma_decompress) -> np.ndarray | None:
-    """OculusPing dict -> (R, C) float32 polar image."""
-    img_msg = ping.get("ping")
-    if isinstance(img_msg, dict) and "data" in img_msg:
-        data = np.asarray(img_msg["data"], np.uint8)
-        h = int(img_msg.get("height", 0))
-        w = int(img_msg.get("width", 0))
-        fmt = img_msg.get("format", "")
-        if fmt or h == 0:  # CompressedImage (jpeg/png)
-            try:
-                from PIL import Image
+def _gamma_decompress_float(x255: np.ndarray, gamma: float) -> np.ndarray:
+    """Float-domain analog of the native uint8 LUT: clip(pow(x/255,
+    255/gamma) * 255). Needed for 16-bit payloads, whose 65536 levels do
+    not fit the 256-entry LUT."""
+    out = np.power(np.clip(x255, 0.0, 255.0) / 255.0, 255.0 / gamma) * 255.0
+    return np.clip(out, 0.0, 255.0).astype(np.float32)
 
-                im = Image.open(_io.BytesIO(data.tobytes())).convert("L")
-                img = np.asarray(im, np.uint8)
-            except Exception:
-                return None
-        else:
-            img = data.reshape(h, w)
-    else:
+
+def decode_ping_image(ping: dict, gamma_decompress) -> np.ndarray | None:
+    """OculusPing dict -> (R, C) float32 polar image.
+
+    16-bit payloads (fire-msg flag bit 0x02, `sonar.py:22`, or a mono16/
+    16UC1 Image encoding) are decoded as little-endian uint16 and rescaled
+    to the 8-bit intensity domain (/257: 0..65535 -> 0..255 exactly at the
+    endpoints) before gamma decompression, so downstream processing sees
+    the same scale regardless of wire depth."""
+    img_msg = ping.get("ping")
+    if not (isinstance(img_msg, dict) and "data" in img_msg):
         return None
+    data = np.asarray(img_msg["data"], np.uint8)
+    h = int(img_msg.get("height", 0))
+    w = int(img_msg.get("width", 0))
+    fmt = img_msg.get("format", "")
+    flags = int(ping.get("fire_msg", {}).get("flags", 0))
+    enc = str(img_msg.get("encoding", "")).lower()
+    is16 = bool(flags & 0x02) or enc in ("mono16", "16uc1")
+    img16 = None
+    if fmt or h == 0:  # CompressedImage (jpeg/png)
+        try:
+            from PIL import Image
+
+            im = Image.open(_io.BytesIO(data.tobytes()))
+            if im.mode in ("I;16", "I;16B", "I"):  # 16-bit png
+                img16 = np.asarray(im, np.uint16 if "16" in im.mode
+                                   else np.int32).astype(np.uint16)
+            else:
+                img = np.asarray(im.convert("L"), np.uint8)
+        except Exception:
+            return None
+    elif is16:
+        if data.size != 2 * h * w:
+            return None
+        img16 = data.view("<u2").reshape(h, w)
+    else:
+        if data.size != h * w:
+            return None
+        img = data.reshape(h, w)
     gamma = float(ping.get("fire_msg", {}).get("gamma", 0)) or 255.0
+    if img16 is not None:
+        return _gamma_decompress_float(img16.astype(np.float32) / 257.0,
+                                       gamma)
     return gamma_decompress(img, gamma)
 
 

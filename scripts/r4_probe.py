@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Round-4 probe matrix: sweep-topk x incremental-refinement x traced floors.
+
+One process, one simulation per seed, every static variant compiled once and
+reused across seeds (see CLAUDE.md: the remote TPU's per-process setup makes
+multi-process sweeps unusable; traced RefineParams variants are ~1.5 s each
+after the first).
+
+Measures, per (variant, refine-params, seed): ATE xy/heading, loop
+precision/recall (bench.loop_metrics), loop count, DVL-scale recovery, and
+the replay wall (warm calls only — the first call per variant compiles).
+
+Usage:
+  python scripts/r4_probe.py --tpu --seeds 3 \
+      --variants 1:0,2:0,3:0,2:1 --out /tmp/r4_probe.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import jax.numpy as jnp
+from dataclasses import replace
+
+from bench import loop_metrics
+from sonar_slam_tpu.pipeline import ate_heading_deg, ate_rmse, replay
+from sonar_slam_tpu.io.simulate import simulate_bag
+from sonar_slam_tpu.slam import FeatureConfig, RefineParams
+from sonar_slam_tpu.geometry import se2_between
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from error_budget import bench_params, setups  # noqa: E402
+
+
+def run_one(bag, fc, params, dims, rp, truth_at_ping):
+    t0 = time.time()
+    res = replay(bag, fc, params, dims, refine_params=rp)
+    wall = time.time() - t0
+    nk = res.num_keyframes
+    truth = truth_at_ping[res.keyframe_ping_idx][:nk]
+    lm = loop_metrics(res.carry, truth, dims.nssm_min_st_sep,
+                      prox_radius=0.5 * dims.max_range)
+    est_corr = np.exp(np.asarray(res.carry.graph.log_scale))
+    return {
+        "ate_cm": round(ate_rmse(res.trajectory, truth) * 100, 2),
+        "heading_deg": round(ate_heading_deg(res.trajectory, truth), 3),
+        "keyframes": nk,
+        "loops": int(min(int(res.carry.num_loops), dims.max_loops)),
+        "precision": lm["precision"],
+        "recall": lm["recall"],
+        "loop_err_median_cm": lm["loop_err_median_cm"],
+        "est_scale_x": round(float(1.0 / est_corr[0]), 5),
+        "true_scale_x": round(float(np.asarray(bag.true_dvl_scale)[0]), 5),
+        "wall_s": round(wall, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--variants", default="1:0,2:0",
+                    help="comma list of topk:incremental static variants")
+    ap.add_argument("--chain-floors", default="",
+                    help="comma list of chain floor sigmas (traced; "
+                         "probed on the FIRST variant only)")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    sim0, dims0, kf_t = setups(not args.small)
+    params = bench_params(dims0, kf_t, full=not args.small)
+    fc = FeatureConfig(max_points=dims0.max_points)
+    variants = []
+    for v in args.variants.split(","):
+        tk, inc = v.split(":")
+        variants.append((int(tk), bool(int(inc))))
+    chain_floors = [float(x) for x in args.chain_floors.split(",") if x]
+
+    results = []
+    for seed in range(args.seeds):
+        t0 = time.time()
+        bag = simulate_bag(replace(sim0, seed=seed))
+        print(f"# seed {seed} sim {time.time()-t0:.0f}s", flush=True)
+        truth_at_ping = bag.true_pose_at_ping
+        for tk, inc in variants:
+            dims = replace(dims0, refine_sweep_topk=tk,
+                           refine_incremental=inc)
+            rps = [("default", RefineParams.default())]
+            if chain_floors and (tk, inc) == variants[0]:
+                rps += [
+                    (f"chain_floor={cf}", RefineParams.default()._replace(
+                        chain_floor_sigmas=jnp.asarray(
+                            [cf, cf, cf / 5.0], jnp.float32)))
+                    for cf in chain_floors
+                ]
+            for rp_name, rp in rps:
+                rec = run_one(bag, fc, params, dims, rp, truth_at_ping)
+                rec.update(seed=seed, topk=tk, incremental=int(inc),
+                           rp=rp_name)
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

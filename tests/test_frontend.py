@@ -69,6 +69,43 @@ def test_subbin_refinement_bounded():
     assert d.max() <= 0.5, d.max()
 
 
+@pytest.mark.parametrize("edge", ["row0", "row-1", "col0", "col-1"])
+def test_subbin_zero_offset_at_image_boundary(edge):
+    """ADVICE r2 item 1: boundary rows/cols have no 3-point neighborhood;
+    jnp.roll would wrap the opposite edge in as a fake neighbor, shifting
+    every inward-decreasing boundary peak by up to half a cell outward.
+    Detections ON the image boundary must keep exactly their static cell
+    position (zero sub-bin offset along BOTH axes)."""
+    ext = FeatureExtractor(
+        FeatureConfig(resolution=0.5, max_points=256, subbin=True), GEOM)
+    R, C = GEOM.num_ranges, GEOM.num_bearings
+    img = np.full((R, C), 2.0, np.float32)
+    # a bright peak sitting on the chosen boundary, decreasing inward —
+    # exactly the shape the wrapped-roll bug displaced
+    if edge == "row0":
+        r, c = 0, C // 2
+        img[r, c], img[r + 1, c] = 240.0, 60.0
+    elif edge == "row-1":
+        r, c = R - 1, C // 2
+        img[r, c], img[r - 1, c] = 240.0, 60.0
+    elif edge == "col0":
+        r, c = R // 2, 0
+        img[r, c], img[r, c + 1] = 240.0, 60.0
+    else:
+        r, c = R // 2, C - 1
+        img[r, c], img[r, c - 1] = 240.0, 60.0
+    refined = np.asarray(ext._subbin_xy(jnp.asarray(img)))
+    static = np.asarray(ext._cells)
+    cell = r * C + c
+    np.testing.assert_array_equal(refined[cell], static[cell])
+    # and the interior neighbor DOES refine (the interpolator is active)
+    if edge.startswith("row"):
+        inner = (r + (1 if edge == "row0" else -1)) * C + c
+    else:
+        inner = r * C + (c + (1 if edge == "col0" else -1))
+    assert np.any(refined[inner] != static[inner])
+
+
 def test_extractor_batch_matches_single():
     ext = FeatureConfig(max_points=128)
     ext = FeatureExtractor(FeatureConfig(max_points=128), GEOM)

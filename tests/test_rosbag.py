@@ -484,6 +484,136 @@ def test_bag_seam_end_to_end(tmp_path):
     )
 
 
+# OculusPing variant carrying a RAW sensor_msgs/Image payload (the
+# reference's uncompressed topic form) — used for the 16-bit wire test
+OCULUS_PING_RAW_DEF = """\
+Header header
+sonar_oculus/OculusFire fire_msg
+int32 ping_id
+sensor_msgs/Image ping
+int16[] bearings
+float64 range_resolution
+uint32 num_ranges
+uint32 num_beams
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+================================================================================
+MSG: sonar_oculus/OculusFire
+Header header
+uint8 mode
+uint8 gamma
+uint8 flags
+float64 range
+float64 gain
+float64 speed_of_sound
+float64 salinity
+================================================================================
+MSG: sensor_msgs/Image
+Header header
+uint32 height
+uint32 width
+string encoding
+uint8 is_bigendian
+uint32 step
+uint8[] data
+"""
+
+
+def _ser_raw_image(seq, t, h, w, encoding, itemsize, payload):
+    out = ser_header(seq, t, "sonar")
+    e = encoding.encode()
+    out += struct.pack("<II", h, w)
+    out += struct.pack("<I", len(e)) + e
+    out += struct.pack("<BI", 0, w * itemsize)  # little-endian, step
+    out += struct.pack("<I", len(payload)) + payload
+    return out
+
+
+def _ser_oculus_ping_raw(seq, t, gamma, flags, h, w, encoding, itemsize,
+                         payload, bearings_cdeg, res, nr):
+    out = ser_header(seq, t, "sonar")
+    out += ser_header(seq, t, "sonar")
+    out += struct.pack("<BBB", 2, gamma, flags)
+    out += struct.pack("<dddd", 30.0, 20.0, 1500.0, 0.0)
+    out += struct.pack("<i", seq)
+    out += _ser_raw_image(seq, t, h, w, encoding, itemsize, payload)
+    b = np.asarray(bearings_cdeg, "<i2")
+    out += struct.pack("<I", len(b)) + b.tobytes()
+    out += struct.pack("<dI", res, nr)
+    out += struct.pack("<I", len(b))
+    return out
+
+
+def test_16bit_ping_bag_matches_8bit_quantized(tmp_path):
+    """16-bit ping payloads (fire-msg flag bit 0x02, `sonar.py:22`) through
+    a genuine .bag + convert_bag.py must decode to the same intensity
+    domain as the 8-bit path: the VERDICT r3 hole was that a 16-bit bag
+    silently mis-decoded (reshape of half the pixels). Pin: the converted
+    images equal the float-domain gamma decode of the 16-bit data, and
+    match the 8-bit-quantized decode within one 8-bit level."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys as _s
+    for p in (os.path.join(repo, "scripts"), os.path.join(repo, "native")):
+        if p not in _s.path:
+            _s.path.insert(0, p)
+    from convert_bag import _gamma_decompress_float
+    import runtime as native
+
+    from sonar_slam_tpu.io.rosbag import ROS_TOPICS, write_bag
+
+    rng = np.random.default_rng(3)
+    h, w = 48, 24
+    gamma = 127
+    n_pings = 3
+    imgs16 = rng.integers(0, 65535, size=(n_pings, h, w), dtype=np.uint16)
+    bearings_cdeg = np.linspace(-6000, 6000, w)
+
+    conns = [{"id": 0, "topic": ROS_TOPICS["sonar"],
+              "type": "sonar_oculus/OculusPing",
+              "definition": OCULUS_PING_RAW_DEF}]
+    msgs = []
+    for k in range(n_pings):
+        payload = imgs16[k].astype("<u2").tobytes()
+        msgs.append((0, 10.0 + k, _ser_oculus_ping_raw(
+            k, 10.0 + k, gamma, 0x02, h, w, "mono16", 2, payload,
+            bearings_cdeg, 0.1, h)))
+    bag_path = str(tmp_path / "ping16.bag")
+    write_bag(bag_path, conns, msgs, compression="lz4")
+
+    npz_path = str(tmp_path / "ping16.npz")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "convert_bag.py"),
+         bag_path, "--out", npz_path],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    got = np.load(npz_path)["ping_images"]
+    assert got.shape == (n_pings, h, w)
+
+    # exact: the float-domain decode of the 16-bit payload
+    want = np.stack([
+        _gamma_decompress_float(im.astype(np.float32) / 257.0, gamma)
+        for im in imgs16
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # consistency: within one 8-bit level of the quantized-to-8-bit decode
+    imgs8 = np.round(imgs16 / 257.0).astype(np.uint8)
+    dec8 = np.stack([
+        native.gamma_decompress(im, float(gamma)) for im in imgs8
+    ])
+    # gamma=127 decompression has slope up to ~2 per 8-bit level mid-range
+    assert np.max(np.abs(got - dec8)) < 2.5, np.max(np.abs(got - dec8))
+
+
 def test_jpeg_ping_decodes(tmp_path):
     """JPEG-compressed OculusPing payloads decode through the PIL path of
     convert_bag.decode_ping_image (lossy — image-level closeness only)."""
