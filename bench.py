@@ -128,6 +128,9 @@ def main() -> None:
     ap.add_argument("--refine-incremental", type=int, default=-1,
                     help="override refine_incremental (STATIC - recompiles; "
                          "-1 = config default)")
+    ap.add_argument("--scale-anchor", type=int, default=-1,
+                    help="override refine_scale_from_chain (STATIC - "
+                         "recompiles; -1 = config default)")
     ap.add_argument("--chain-floor", type=float, default=0.0,
                     help="override the densified-chain covariance floor "
                          "sigma (m; traced, 0 = default)")
@@ -234,6 +237,10 @@ def main() -> None:
         from dataclasses import replace as _dcr2
 
         dims = _dcr2(dims, refine_incremental=bool(args.refine_incremental))
+    if args.scale_anchor >= 0:
+        from dataclasses import replace as _dcr3
+
+        dims = _dcr3(dims, refine_scale_from_chain=bool(args.scale_anchor))
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()

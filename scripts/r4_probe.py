@@ -56,6 +56,10 @@ def run_one(bag, fc, params, dims, rp, truth_at_ping):
     wall = time.time() - t0
     nk = res.num_keyframes
     truth = truth_at_ping[res.keyframe_ping_idx][:nk]
+    if not np.isfinite(res.trajectory).all():
+        return {"error": "NaN trajectory", "wall_s": round(wall, 2),
+                "nan_poses": int((~np.isfinite(res.trajectory))
+                                 .any(axis=-1).sum())}
     lm = loop_metrics(res.carry, truth, dims.nssm_min_st_sep,
                       prox_radius=0.5 * dims.max_range)
     est_corr = np.exp(np.asarray(res.carry.graph.log_scale))
@@ -78,11 +82,14 @@ def main():
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--variants", default="1:0,2:0",
-                    help="comma list of topk:incremental static variants")
-    ap.add_argument("--chain-floors", default="",
-                    help="comma list of chain floor sigmas (traced; "
-                         "probed on the FIRST variant only)")
+    ap.add_argument("--variants", default="1:0:0,2:0:0",
+                    help="comma list of topk:incremental:anchor static "
+                         "variants")
+    ap.add_argument("--rps", default="default",
+                    help="comma list of traced RefineParams presets, "
+                         "applied to EVERY static variant: default, "
+                         "chainF (floor sigma F cm, e.g. chain2), "
+                         "norobust, chainF-norobust")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -91,9 +98,23 @@ def main():
     fc = FeatureConfig(max_points=dims0.max_points)
     variants = []
     for v in args.variants.split(","):
-        tk, inc = v.split(":")
-        variants.append((int(tk), bool(int(inc))))
-    chain_floors = [float(x) for x in args.chain_floors.split(",") if x]
+        tk, inc, anc = (v.split(":") + ["0"])[:3]
+        variants.append((int(tk), bool(int(inc)), bool(int(anc))))
+
+    def mk_rp(name):
+        rp = RefineParams.default()
+        for part in name.split("-"):
+            if part.startswith("chain"):
+                cf = float(part[5:]) / 100.0
+                rp = rp._replace(chain_floor_sigmas=jnp.asarray(
+                    [cf, cf, cf / 5.0], jnp.float32))
+            elif part == "norobust":
+                rp = rp._replace(robust=jnp.asarray(False))
+            elif part != "default":
+                raise SystemExit(f"unknown rp preset part: {part}")
+        return rp
+
+    rps = [(n, mk_rp(n)) for n in args.rps.split(",")]
 
     results = []
     for seed in range(args.seeds):
@@ -101,26 +122,22 @@ def main():
         bag = simulate_bag(replace(sim0, seed=seed))
         print(f"# seed {seed} sim {time.time()-t0:.0f}s", flush=True)
         truth_at_ping = bag.true_pose_at_ping
-        for tk, inc in variants:
+        for tk, inc, anc in variants:
             dims = replace(dims0, refine_sweep_topk=tk,
-                           refine_incremental=inc)
-            rps = [("default", RefineParams.default())]
-            if chain_floors and (tk, inc) == variants[0]:
-                rps += [
-                    (f"chain_floor={cf}", RefineParams.default()._replace(
-                        chain_floor_sigmas=jnp.asarray(
-                            [cf, cf, cf / 5.0], jnp.float32)))
-                    for cf in chain_floors
-                ]
+                           refine_incremental=inc,
+                           refine_scale_from_chain=anc)
             for rp_name, rp in rps:
-                rec = run_one(bag, fc, params, dims, rp, truth_at_ping)
+                try:
+                    rec = run_one(bag, fc, params, dims, rp, truth_at_ping)
+                except Exception as e:  # keep the matrix going
+                    rec = {"error": repr(e)[:200]}
                 rec.update(seed=seed, topk=tk, incremental=int(inc),
-                           rp=rp_name)
+                           anchor=int(anc), rp=rp_name)
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=1)
+                if args.out:
+                    with open(args.out, "w") as f:
+                        json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

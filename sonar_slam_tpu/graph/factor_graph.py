@@ -76,6 +76,15 @@ class GraphState(NamedTuple):
     f_scaled: jax.Array  # (F,) bool: measurement corrected by exp(log_scale)
     num_factors: jax.Array  # int32
     log_scale: jax.Array  # (2,) per-axis log correction (0 = nominal)
+    # prior center for log_scale. Default 0 (nominal). The refinement pass
+    # can set it to a DIRECTLY-measured value (median ratio of refined
+    # chain registrations to raw DR deltas, slam/refine.py) and pin the
+    # variable there with a tight prior — the in-graph least-squares
+    # estimate is systematically shrunk whenever refined factors are
+    # Cauchy-robustified (a consistent 2% scale miss over a 3 m interval
+    # is ~1.4 whitened sigmas at the 5 cm floor -> weight ~1/3), while the
+    # measurement-domain median is immune to factor weighting.
+    log_scale_anchor: jax.Array  # (2,)
 
 
 def sigmas_to_sqrt_info(sigmas) -> jax.Array:
@@ -109,6 +118,7 @@ def graph_init(config: GraphConfig) -> GraphState:
         f_scaled=jnp.zeros((F,), bool),
         num_factors=jnp.asarray(0, jnp.int32),
         log_scale=jnp.zeros(2, jnp.float32),
+        log_scale_anchor=jnp.zeros(2, jnp.float32),
     )
 
 
@@ -276,13 +286,14 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
             jnp.einsum("fas,fat->st", Js, Js, precision=hp)
         )
         b = b.at[srange].add(jnp.einsum("fas,fa->s", Js, r, precision=hp))
-        # prior on each log_scale: (log_scale + ds - 0)^2 / sigma^2
+        # prior on each log_scale: (log_scale + ds - anchor)^2 / sigma^2
+        # (anchor defaults to 0 = nominal; see GraphState.log_scale_anchor)
         sp = config.scale_prior_sigma
         # scalar (incl. int / np.floating) -> both axes; else per-axis pair
         sx, sy = sp if isinstance(sp, (tuple, list)) else (sp, sp)
         w_s = jnp.asarray([1.0 / sx**2, 1.0 / sy**2], jnp.float32)
         H = H.at[srange, srange].add(w_s)
-        b = b.at[srange].add(w_s * state.log_scale)
+        b = b.at[srange].add(w_s * (state.log_scale - state.log_scale_anchor))
 
     # prior factor on X(0)
     def fprior(d):

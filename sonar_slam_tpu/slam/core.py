@@ -176,6 +176,18 @@ class SlamDims:
     # converted); k=2-3 converts sources that see several prior passes of
     # the survey into multiple anchors.
     refine_sweep_topk: int = 1
+    # measure the DVL scale DIRECTLY from the densified chain: after the
+    # chain stage, set the graph's log_scale anchor to the median log-ratio
+    # of accepted chain registrations (metric) to raw DR deltas (scaled),
+    # per axis, and pin the scale variable there with the tight prior
+    # below. The in-graph least-squares scale estimate is systematically
+    # shrunk whenever refined factors are Cauchy-robustified (a consistent
+    # scale miss looks like a field of outliers); the measurement-domain
+    # median is immune to factor weighting. Axes with too little
+    # displacement (lateral, on crab trajectories) keep the in-scan
+    # estimate. See slam/refine.py::_anchor_scale_from_chain.
+    refine_scale_from_chain: bool = False
+    refine_scale_anchor_sigma: tuple = (0.005, 0.01)
     # incremental re-measurement: on refinement iterations >= 1, only
     # re-register the loop lanes whose endpoint RELATIVE pose moved beyond
     # RefineParams.move_gate_* since their last registration, compacted to

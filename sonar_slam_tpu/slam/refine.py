@@ -94,6 +94,10 @@ class RefineParams(NamedTuple):
     # ~90%-overlap registrations are the best-conditioned measurements in
     # the graph and can carry a tighter floor than re-measured loops
     chain_floor_sigmas: jax.Array  # (3,)
+    # direct chain-ratio scale measurement (dims.refine_scale_from_chain):
+    # only intervals with at least this much per-axis raw-DR displacement
+    # contribute a log-ratio sample (m)
+    scale_min_axis_disp: jax.Array
 
     @staticmethod
     def default() -> "RefineParams":
@@ -110,6 +114,7 @@ class RefineParams(NamedTuple):
             move_gate_t=f(0.01),
             move_gate_r=f(0.002),
             chain_floor_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
+            scale_min_axis_disp=f(0.5),
         )
 
 
@@ -406,7 +411,47 @@ def _densify_chain(
         return c._replace(graph=g2), None
 
     carry, _ = jax.lax.scan(insert_one, carry, idx)
-    return carry
+    return carry, ok, z
+
+
+def _anchor_scale_from_chain(
+    carry: SlamCarry,
+    chain_ok: jax.Array,  # (K,) accepted chain registrations
+    chain_z: jax.Array,  # (K, 3) their measurements (frame k-1 -> k)
+    rp,
+    dims: SlamDims,
+) -> SlamCarry:
+    """Measure the DVL scale correction directly: per accepted chain
+    interval, exp(log_scale) should map the raw DR delta onto the metric
+    chain registration, so log(z_chain / z_dr) is a per-axis sample of
+    log_scale. The masked median over all intervals is immune to the
+    factor-weighting shrinkage that biases the in-graph estimate (Cauchy
+    robust weights treat a consistent scale miss as a field of outliers).
+    Axes without enough displacement (lateral, on crab trajectories) keep
+    the current in-graph estimate. The result is written to
+    ``GraphState.log_scale_anchor`` (and seeds ``log_scale``); the caller
+    pins it with ``SlamDims.refine_scale_anchor_sigma``."""
+    K = dims.max_keyframes
+    idx = jnp.arange(K)
+    prev = jnp.maximum(idx - 1, 0)
+    zd = jax.vmap(se2_between)(carry.dr_poses[prev], carry.dr_poses[idx])
+
+    def axis_anchor(a: int, min_n: int = 8) -> jax.Array:
+        num, den = chain_z[:, a], zd[:, a]
+        use = (
+            chain_ok
+            & (jnp.abs(den) > rp.scale_min_axis_disp)
+            & (num * den > 0)
+        )
+        ratio = num / jnp.where(use, den, 1.0)
+        lr = jnp.log(jnp.where(use, ratio, 1.0))
+        med = jnp.nanmedian(jnp.where(use, lr, jnp.nan))
+        enough = (jnp.sum(use) >= min_n) & jnp.isfinite(med)
+        return jnp.where(enough, med, carry.graph.log_scale[a])
+
+    anchor = jnp.stack([axis_anchor(0), axis_anchor(1)])
+    g = carry.graph._replace(log_scale_anchor=anchor, log_scale=anchor)
+    return carry._replace(graph=g)
 
 
 def _sweep(
@@ -529,8 +574,15 @@ def refine_loops(
                            dims.dvl_scale_prior_sigma_y),
     )
 
+    # after the direct scale measurement (refine_scale_from_chain), the
+    # scale variable is pinned at the anchor with a tight prior
+    gcfg_anchored = gcfg._replace(
+        scale_prior_sigma=tuple(dims.refine_scale_anchor_sigma)
+    )
+    cur_cfg = [gcfg]
+
     def opt(c: SlamCarry) -> SlamCarry:
-        g = optimize(c.graph, gcfg)
+        g = optimize(c.graph, cur_cfg[0])
         return c._replace(graph=g, poses=g.poses)
 
     # per-lane endpoint relative pose at last registration (incremental
@@ -547,7 +599,11 @@ def refine_loops(
             )
         carry = opt(carry)
         if it == 0 and dims.refine_chain:
-            carry = opt(_densify_chain(carry, params, rp, dims, mesh))
+            carry, ch_ok, ch_z = _densify_chain(carry, params, rp, dims, mesh)
+            if dims.refine_scale_from_chain and dims.estimate_dvl_scale:
+                carry = _anchor_scale_from_chain(carry, ch_ok, ch_z, rp, dims)
+                cur_cfg[0] = gcfg_anchored
+            carry = opt(carry)
         # the sweep runs EVERY iteration: the first pass's corrections open
         # new consistent pairs for the next (probed: sweep-once loses ~1/3
         # of the final loops and 1.4 cm ATE on seed 0)

@@ -184,6 +184,91 @@ def test_scale_prior_sigma_scalar_types(sp):
     assert np.isfinite(np.asarray(g.poses)).all()
 
 
+def test_scale_anchor_pins_log_scale():
+    """GraphState.log_scale_anchor + a tight prior must pin the optimized
+    scale at the anchor even when the factors' least-squares optimum
+    disagrees (the refine-stage direct-measurement mechanism)."""
+    n = 6
+    cfg = GraphConfig(max_poses=n, max_factors=4 * n, gn_iters=12,
+                      estimate_scale=True, scale_prior_sigma=(0.002, 0.002))
+    g = graph_init(cfg)
+    g = add_prior(g, [0, 0, 0], sigmas_to_sqrt_info([0.01, 0.01, 0.001]))
+    for k in range(n):
+        g = set_pose_estimate(g, k, [2.0 * k, 0.0, 0.0])
+    for k in range(n - 1):
+        # scaled odometry says 2.0; metric registration says 2.06 (the
+        # factor optimum for exp(log_sx) would be ~1.03)
+        g = add_between(g, k, k + 1, jnp.asarray([2.0, 0.0, 0.0]),
+                        sigmas_to_sqrt_info([0.05, 0.05, 0.005]),
+                        scaled=True)
+        g = add_between(g, k, k + 1, jnp.asarray([2.06, 0.0, 0.0]),
+                        sigmas_to_sqrt_info([0.02, 0.02, 0.002]))
+    anchor = jnp.asarray([np.log(1.03), 0.0], jnp.float32)
+    g = g._replace(log_scale_anchor=anchor, log_scale=anchor)
+    g = optimize(g, cfg)
+    np.testing.assert_allclose(np.asarray(g.log_scale), np.asarray(anchor),
+                               atol=2e-3)
+    # and with the default zero anchor + the same tight prior, the scale
+    # stays pinned at nominal instead
+    g0 = graph_init(cfg)
+    g0 = add_prior(g0, [0, 0, 0], sigmas_to_sqrt_info([0.01, 0.01, 0.001]))
+    for k in range(n):
+        g0 = set_pose_estimate(g0, k, [2.0 * k, 0.0, 0.0])
+    for k in range(n - 1):
+        g0 = add_between(g0, k, k + 1, jnp.asarray([2.0, 0.0, 0.0]),
+                         sigmas_to_sqrt_info([0.05, 0.05, 0.005]),
+                         scaled=True)
+        g0 = add_between(g0, k, k + 1, jnp.asarray([2.06, 0.0, 0.0]),
+                         sigmas_to_sqrt_info([0.02, 0.02, 0.002]))
+    g0 = optimize(g0, cfg)
+    assert abs(float(g0.log_scale[0])) < 2e-3
+
+
+def test_refine_anchor_recovers_injected_dvl_scale():
+    """End-to-end mechanism test: stretch a synthetic survey's DR poses by
+    a known factor (the DVL reading long), run the refinement pass with
+    refine_scale_from_chain, and the anchored estimate must recover the
+    injected factor from the chain ratios to ~0.3%."""
+    import os
+    import sys as _s
+
+    repo_tests = os.path.dirname(os.path.abspath(__file__))
+    if repo_tests not in _s.path:
+        _s.path.insert(0, repo_tests)
+    from test_refine import _build_carry, _dims, _params
+
+    s_true = 1.02  # DR distances read 2% long
+    dims = _dims(refine_iters=2, refine_sweep=True, refine_chain=True,
+                 refine_scale_from_chain=True, estimate_dvl_scale=True,
+                 gn_iters=8)
+    carry, truth = _build_carry(dims, with_loop=False)
+    # mark the odometry factors scaled (the synthetic builder adds plain
+    # betweens; factor k-1 connects (k-1, k)), then stretch the scaled
+    # measurements and the raw DR poses: the DVL reads long, sonar clouds
+    # stay metric
+    K = dims.max_keyframes
+    g = carry.graph
+    scaled = jnp.zeros_like(g.f_scaled).at[: K - 1].set(True)
+    stretch = jnp.asarray([s_true, s_true, 1.0])
+    g = g._replace(
+        f_scaled=scaled,
+        f_z=jnp.where(scaled[:, None], g.f_z * stretch, g.f_z),
+    )
+    carry = carry._replace(
+        graph=g,
+        dr_poses=carry.dr_poses * stretch,
+    )
+
+    from sonar_slam_tpu.slam.refine import RefineParams, refine_loops
+
+    params = _params(dims)
+    out = refine_loops(carry, params, RefineParams.default(), dims)
+    est = float(np.exp(np.asarray(out.graph.log_scale))[0])
+    # chain registrations are metric; DR deltas are stretched by s_true, so
+    # exp(log_sx) must converge to 1/s_true
+    np.testing.assert_allclose(est, 1.0 / s_true, atol=0.003)
+
+
 def test_get_states_and_pose_uncertainty_with_scale_config():
     """get_states(refresh_covs=True) and services.query_pose_uncertainty on
     an estimate_dvl_scale=True SlamDims — the two shipped-config consumers
