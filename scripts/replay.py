@@ -76,6 +76,9 @@ def main() -> None:
     ap.add_argument("--intensity", action="store_true",
                     help="also export the average-intensity map")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--save-submaps", action="store_true",
+                    help="write the per-submap debug dump "
+                         "(step-N-submaps.npz, mapping_node.py:139-155)")
     ap.add_argument("--p2l", action="store_true",
                     help="point-to-line ICP minimizer (docs/ACCURACY.md)")
     ap.add_argument("--icp-max-dist", type=float, default=None,
@@ -193,6 +196,14 @@ def main() -> None:
                 intensity_grid(mst, model, _jnp.asarray(kf_int))
             )
         np.savez_compressed(os.path.join(args.out, "occupancy.npz"), **arts)
+        if args.save_submaps:
+            from sonar_slam_tpu.mapping import save_submaps
+
+            save_submaps(
+                os.path.join(args.out, f"step-{res.num_keyframes - 1}"
+                                       "-submaps.npz"),
+                mcfg, mst, model,
+            )
 
     if args.plot:
         import matplotlib

@@ -20,4 +20,5 @@ from .occupancy import (
     grow,
     resample_grid,
     get_occupancy_map,
+    save_submaps,
 )

@@ -486,3 +486,28 @@ def grow(config: MappingConfig, state: MappingState, pad_m: float = 50.0):
         pad_cells : pad_cells + config.rows, pad_cells : pad_cells + config.cols
     ] = np.asarray(state.grid)
     return new_cfg, state._replace(grid=jnp.asarray(grid))
+
+
+def save_submaps(path: str, config: MappingConfig, state: MappingState,
+                 model: SubmapModel) -> None:
+    """Per-submap debug dump (the reference's ``save_submaps``,
+    `mapping_node.py:139-155`: one entry per keyframe with its pose and
+    submap raster, plus the map bounds tuple). Host-side; the per-keyframe
+    log-odds live in the fixed-capacity state, so this is one copy — no
+    re-rendering. Load with ``np.load(path)``:
+
+    * ``poses`` (K', 3), ``logodds`` (K', S) sonar-raster submap log-odds,
+    * ``cell_xy`` (S, 2) the raster's local cell coordinates,
+    * ``map_size`` = (x0, y0, width, height, resolution).
+    """
+    nk = int(state.num_kf)
+    valid = np.asarray(state.kf_valid)[:nk]
+    np.savez_compressed(
+        path,
+        poses=np.asarray(state.kf_poses)[:nk][valid],
+        logodds=np.asarray(state.kf_logodds)[:nk][valid],
+        cell_xy=np.asarray(model.sonar_xy),
+        map_size=np.asarray(
+            [config.x0, config.y0, config.width, config.height,
+             config.resolution], np.float32),
+    )

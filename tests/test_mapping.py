@@ -177,3 +177,23 @@ def test_get_occupancy_map_service(model):
     occ2, res2 = get_occupancy_map(st, model, resolution=1.0)
     assert res2 == 1.0
     assert occ2.shape[0] == CFG.rows // 2
+
+
+def test_save_submaps_roundtrip(model, tmp_path):
+    """Per-submap debug dump (ref mapping_node.py:139-155 save_submaps)."""
+    from sonar_slam_tpu.mapping import save_submaps
+    st = mapping_init(CFG, model)
+    pts, m = wall_points()
+    st = add_keyframe(st, 0, jnp.zeros(3, jnp.float32), pts, m, model)
+    st = add_keyframe(st, 1, jnp.asarray([3.0, 1.0, 0.1], jnp.float32), pts, m, model)
+    path = str(tmp_path / "step-1-submaps.npz")
+    save_submaps(path, CFG, st, model)
+    d = np.load(path)
+    assert d["poses"].shape == (2, 3)
+    np.testing.assert_allclose(d["poses"][1], [3.0, 1.0, 0.1], atol=1e-6)
+    assert d["logodds"].shape == (2, model.sonar_xy.shape[0])
+    np.testing.assert_allclose(d["logodds"][0], np.asarray(st.kf_logodds[0]))
+    assert d["cell_xy"].shape == (model.sonar_xy.shape[0], 2)
+    np.testing.assert_allclose(
+        d["map_size"],
+        [CFG.x0, CFG.y0, CFG.width, CFG.height, CFG.resolution])
