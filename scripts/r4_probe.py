@@ -110,6 +110,19 @@ def main():
                     [cf, cf, cf / 5.0], jnp.float32))
             elif part == "norobust":
                 rp = rp._replace(robust=jnp.asarray(False))
+            elif part.startswith("covis"):  # sweep covisibility gate
+                rp = rp._replace(sweep_min_covis=jnp.asarray(
+                    int(part[5:]), jnp.int32))
+            elif part.startswith("sinl"):  # sweep inlier gate
+                rp = rp._replace(sweep_min_inliers=jnp.asarray(
+                    int(part[4:]), jnp.int32))
+            elif part.startswith("sdt"):  # sweep consistency gate, cm
+                rp = rp._replace(sweep_max_dt=jnp.float32(
+                    float(part[3:]) / 100.0))
+            elif part.startswith("sfl"):  # sweep/remeasure floor, cm
+                fl = float(part[3:]) / 100.0
+                rp = rp._replace(floor_sigmas=jnp.asarray(
+                    [fl, fl, fl / 5.0], jnp.float32))
             elif part != "default":
                 raise SystemExit(f"unknown rp preset part: {part}")
         return rp

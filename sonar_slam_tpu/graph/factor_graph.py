@@ -42,6 +42,14 @@ class GraphConfig(NamedTuple):
     gn_iters: int = 6  # max relinearization sweeps per update
     damping: float = 1e-9  # tiny LM damping for numerical safety
     convergence_tol: float = 1e-5  # early exit when max |delta| drops below
+    # trust-region clamp on each GN sweep's step: a full step whose largest
+    # translation / rotation component exceeds these is uniformly scaled
+    # down (direction preserved). Generous defaults that never bind on a
+    # healthy solve — they only stop a bad linearization under tight
+    # information weights (cm-level refined floors) from launching poses
+    # into a divergent orbit. 0 disables.
+    step_clamp_t: float = 2.0  # m
+    step_clamp_r: float = 0.5  # rad
     # online sensor-scale calibration: solve two extra global variables
     # log_scale = (log_sx, log_sy), one per body axis (the DVL's beam
     # geometry biases each velocity axis independently). Factors flagged
@@ -324,39 +332,71 @@ def optimize(state: GraphState, config: GraphConfig) -> GraphState:
     K = config.max_poses
 
     def cond(carry):
-        _, _, it, max_delta = carry
+        _, _, it, max_delta, _ = carry
         # warm-started updates converge in one sweep between loop closures —
         # the while_loop skips the remaining relinearizations entirely
         return (it < config.gn_iters) & (max_delta > config.convergence_tol)
 
     def body(carry):
-        poses, log_scale, it, _ = carry
+        poses, log_scale, it, prev_delta, lam = carry
         st = state._replace(poses=poses, log_scale=log_scale)
         H, b = _assemble_normal_equations(st, config)
-        L = jnp.linalg.cholesky(H)
+        # adaptive RELATIVE Levenberg damping: lam starts at 0 (pure GN,
+        # bit-identical to the undamped solve on healthy paths) and only
+        # escalates when a sweep's Cholesky fails in fp32 or the step
+        # magnitude grows — both observed on TPU under cm-level refined
+        # information weights (H entries ~1e5-1e7 leave the factorization
+        # marginally PD at fp32 rounding; a failed solve used to propagate
+        # NaN through every downstream stage).
+        Hd = H + lam * jnp.diag(jnp.diagonal(H))
+        L = jnp.linalg.cholesky(Hd)
         delta = -jax.scipy.linalg.cho_solve((L, True), b)
+        finite = jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(finite, delta, 0.0)
         if config.estimate_scale:
             ds = delta[3 * K : 3 * K + 2]
-            log_scale = log_scale + ds
             delta = delta[: 3 * K]
-            max_ds = jnp.max(jnp.abs(ds))
         else:
-            max_ds = 0.0
+            ds = jnp.zeros(2, jnp.float32)
         delta = delta.reshape(K, 3)
         valid = (jnp.arange(K) < state.num_poses)[:, None]
+        vdelta = jnp.where(valid, delta, 0.0)
+        if config.step_clamp_t > 0.0:
+            big_t = jnp.max(jnp.abs(vdelta[:, :2]))
+            big_r = jnp.max(jnp.abs(vdelta[:, 2]))
+            shrink = jnp.minimum(
+                1.0,
+                jnp.minimum(
+                    config.step_clamp_t / jnp.maximum(big_t, 1e-12),
+                    config.step_clamp_r / jnp.maximum(big_r, 1e-12),
+                ),
+            )
+            delta, vdelta, ds = delta * shrink, vdelta * shrink, ds * shrink
+        log_scale = log_scale + ds
         new_poses = jnp.where(valid, jax.vmap(se2_retract)(poses, delta), poses)
-        max_delta = jnp.maximum(
-            jnp.max(jnp.abs(jnp.where(valid, delta, 0.0))), max_ds
+        max_delta = jnp.maximum(jnp.max(jnp.abs(vdelta)), jnp.max(jnp.abs(ds)))
+        # a failed solve must not read as convergence — keep iterating with
+        # the damping escalated until it factorizes
+        max_delta = jnp.where(finite, max_delta, jnp.inf)
+        grew = finite & (max_delta > prev_delta * 1.05)
+        lam = jnp.where(
+            ~finite,
+            jnp.maximum(lam, 1e-6) * 100.0,
+            jnp.where(
+                grew,
+                jnp.minimum(jnp.maximum(lam, 1e-8) * 30.0, 1.0),
+                lam * 0.25,
+            ),
         )
-        return new_poses, log_scale, it + 1, max_delta
+        return new_poses, log_scale, it + 1, max_delta, lam
 
     # fp32 throughout: the factorization/solves lower to blocked matmuls and
     # the default bf16 MXU pass would wash out cm-level pose corrections
     with jax.default_matmul_precision("highest"):
-        poses, log_scale, _, _ = jax.lax.while_loop(
+        poses, log_scale, _, _, _ = jax.lax.while_loop(
             cond, body,
             (state.poses, state.log_scale, jnp.asarray(0, jnp.int32),
-             jnp.asarray(jnp.inf)),
+             jnp.asarray(jnp.inf), jnp.asarray(0.0, jnp.float32)),
         )
     return state._replace(poses=poses, log_scale=log_scale)
 

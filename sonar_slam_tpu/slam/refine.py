@@ -98,6 +98,16 @@ class RefineParams(NamedTuple):
     # only intervals with at least this much per-axis raw-DR displacement
     # contribute a log-ratio sample (m)
     scale_min_axis_disp: jax.Array
+    # sweep pair-eligibility gates, decoupled from the in-scan NSSM gates.
+    # The in-scan search re-uses ``nssm_min_points`` (50 at the full config)
+    # as its covisibility threshold, which silently caps sweep recall:
+    # measured on seed 0 (round 4), 17 of 20 missed revisit sources had top
+    # co-visibility counts of 12-47 — never attempted — and over half of
+    # them register at 0.5-5 cm when tried. The bad fits among them are
+    # rejected by the sweep_max_dt/dr consistency gates, not by point count,
+    # so the sweep can run much leaner gates at the same precision.
+    sweep_min_covis: jax.Array  # int32: minimum mutual in-FOV point count
+    sweep_min_inliers: jax.Array  # int32: sweep's own ICP-inlier gate
 
     @staticmethod
     def default() -> "RefineParams":
@@ -115,6 +125,8 @@ class RefineParams(NamedTuple):
             move_gate_r=f(0.002),
             chain_floor_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
             scale_min_axis_disp=f(0.5),
+            sweep_min_covis=jnp.asarray(12, jnp.int32),
+            sweep_min_inliers=jnp.asarray(20, jnp.int32),
         )
 
 
@@ -186,6 +198,9 @@ def _register_pair(
     )
     cov = localize_covariance(censi_covariance(info, mse, z), z)
     cov, _ = apply_covariance_floor(cov, rp.floor_sigmas)
+    # a non-finite measurement/covariance must never reach the factor table
+    # (one NaN factor poisons every GN solve downstream)
+    ok = ok & jnp.all(jnp.isfinite(z)) & jnp.all(jnp.isfinite(cov))
     return ok, z, cov
 
 
@@ -380,6 +395,7 @@ def _densify_chain(
             censi_covariance(rr.info, rr.mse, rr.pose), rr.pose
         )
         cov, _ = apply_covariance_floor(cov, rp.chain_floor_sigmas)
+        ok = ok & jnp.all(jnp.isfinite(rr.pose)) & jnp.all(jnp.isfinite(cov))
         return ok, rr.pose, cov
 
     ok, z, cov = _lane_map(one, carry, (idx,), mesh)
@@ -481,7 +497,7 @@ def _sweep(
         & (idx[:, None] < carry.num_kf)
         & ~taken
         & (d <= rp.prox_radius)
-        & (covis >= params.nssm_min_points)
+        & (covis >= rp.sweep_min_covis)
     )
     score = jnp.where(eligible, covis, -1)
     # top-k most co-visible targets per source j (k=1 == argmax; k>1 lifts
@@ -502,7 +518,7 @@ def _sweep(
         ok = (
             has
             & rr.ok
-            & (rr.inliers >= rp.min_inliers)
+            & (rr.inliers >= rp.sweep_min_inliers)
             & (jnp.linalg.norm(dd[:2]) <= rp.sweep_max_dt)
             & (jnp.abs(dd[2]) <= rp.sweep_max_dr)
         )
@@ -510,6 +526,7 @@ def _sweep(
             censi_covariance(rr.info, rr.mse, rr.pose), rr.pose
         )
         cov, _ = apply_covariance_floor(cov, rp.floor_sigmas)
+        ok = ok & jnp.all(jnp.isfinite(rr.pose)) & jnp.all(jnp.isfinite(cov))
         return ok, rr.pose, cov
 
     ok, z, cov = _lane_map(one, carry, (src_of, tgt_of, has_tgt), mesh)

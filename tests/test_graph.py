@@ -235,3 +235,54 @@ def test_max_clique_host_matches_jit():
     adj = {i: {j for j in range(Q) if adj_mat[i, j]} for i in range(Q)}
     host = max_clique_host(adj)
     assert int(size) == len(host)
+
+
+def test_optimize_survives_nan_factor():
+    """A non-finite factor must not poison the solve: the NaN guard takes a
+    zero step (escalating the Levenberg damping) and returns the input poses
+    unchanged and finite, instead of propagating NaN through every pose.
+    Observed failure mode on TPU (round 4): marginally-PD fp32 normal
+    equations under cm-level refined floors -> cholesky NaN -> whole
+    trajectory NaN."""
+    s = Smoother(CFG)
+    s.add_prior([0, 0, 0], [0.1, 0.1, 0.01])
+    s.insert(0, [0, 0, 0])
+    s.add_odometry(0, 1, [1.0, 0.0, 0.0], [0.2, 0.2, 0.02])
+    s.insert(1, [1.0, 0.0, 0.0])
+    # poison: a factor whose measurement is NaN
+    s.add_odometry(1, 2, [np.nan, 0.0, 0.0], [0.2, 0.2, 0.02])
+    s.insert(2, [2.0, 0.0, 0.0])
+    poses = np.asarray(s.update())
+    assert np.isfinite(poses).all()
+    np.testing.assert_allclose(poses[1], [1.0, 0.0, 0.0], atol=1e-5)
+
+
+def test_optimize_step_clamp_bounds_motion():
+    """With a tiny trust-region clamp, one optimize() call moves each pose by
+    at most step_clamp_t * gn_iters (uniform scaling preserves direction)."""
+    cfg = CFG._replace(gn_iters=3, step_clamp_t=0.01, step_clamp_r=0.002)
+    s = Smoother(cfg)
+    s.add_prior([0, 0, 0], [0.1, 0.1, 0.01])
+    s.insert(0, [0, 0, 0])
+    # a far-off initial value the solver wants to yank 5 m in one step
+    s.add_odometry(0, 1, [1.0, 0.0, 0.0], [0.05, 0.05, 0.01])
+    s.insert(1, [6.0, 0.0, 0.0])
+    poses = np.asarray(s.update())
+    assert np.isfinite(poses).all()
+    moved = np.linalg.norm(poses[1, :2] - [6.0, 0.0])
+    assert moved <= 0.01 * cfg.gn_iters + 1e-6
+
+
+def test_optimize_clamped_still_converges():
+    """The clamp must not change the fixed point: a graph whose first step
+    exceeds the clamp still converges to the same solution with enough
+    sweeps."""
+    cfg = CFG._replace(gn_iters=64, step_clamp_t=0.5, step_clamp_r=0.1,
+                       convergence_tol=1e-7)
+    s = Smoother(cfg)
+    s.add_prior([0, 0, 0], [0.1, 0.1, 0.01])
+    s.insert(0, [0, 0, 0])
+    s.add_odometry(0, 1, [1.0, 0.0, 0.0], [0.05, 0.05, 0.01])
+    s.insert(1, [6.0, 3.0, 0.5])
+    poses = np.asarray(s.update())
+    np.testing.assert_allclose(poses[1], [1.0, 0.0, 0.0], atol=1e-4)
