@@ -98,8 +98,8 @@ def main():
     fc = FeatureConfig(max_points=dims0.max_points)
     variants = []
     for v in args.variants.split(","):
-        tk, inc, anc = (v.split(":") + ["0"])[:3]
-        variants.append((int(tk), bool(int(inc)), bool(int(anc))))
+        tk, inc, anc, ml = (v.split(":") + ["0", "0"])[:4]
+        variants.append((int(tk), bool(int(inc)), bool(int(anc)), int(ml)))
 
     def mk_rp(name):
         rp = RefineParams.default()
@@ -119,10 +119,23 @@ def main():
             elif part.startswith("sdt"):  # sweep consistency gate, cm
                 rp = rp._replace(sweep_max_dt=jnp.float32(
                     float(part[3:]) / 100.0))
-            elif part.startswith("sfl"):  # sweep/remeasure floor, cm
+            elif part.startswith("sfl"):  # remeasure floor, cm
                 fl = float(part[3:]) / 100.0
                 rp = rp._replace(floor_sigmas=jnp.asarray(
                     [fl, fl, fl / 5.0], jnp.float32))
+            elif part.startswith("swfl"):  # sweep-insertion floor, cm
+                fl = float(part[4:]) / 100.0
+                rp = rp._replace(sweep_floor_sigmas=jnp.asarray(
+                    [fl, fl, fl / 5.0], jnp.float32))
+            elif part.startswith("iref"):  # sweep inlier de-weight ref
+                rp = rp._replace(sweep_cov_inlier_ref=jnp.float32(
+                    float(part[4:])))
+            elif part.startswith("prune"):  # consensus prune gate, cm
+                pt = float(part[5:]) / 100.0
+                rp = rp._replace(prune_max_dt=jnp.float32(pt),
+                                 prune_max_dr=jnp.float32(pt / 3.0))
+            elif part == "noprune":
+                rp = rp._replace(prune_max_dt=jnp.float32(0.0))
             elif part != "default":
                 raise SystemExit(f"unknown rp preset part: {part}")
         return rp
@@ -135,10 +148,12 @@ def main():
         bag = simulate_bag(replace(sim0, seed=seed))
         print(f"# seed {seed} sim {time.time()-t0:.0f}s", flush=True)
         truth_at_ping = bag.true_pose_at_ping
-        for tk, inc, anc in variants:
+        for tk, inc, anc, ml in variants:
             dims = replace(dims0, refine_sweep_topk=tk,
                            refine_incremental=inc,
                            refine_scale_from_chain=anc)
+            if ml:  # max_loops override (max_factors derives from it)
+                dims = replace(dims, max_loops=ml)
             for rp_name, rp in rps:
                 try:
                     rec = run_one(bag, fc, params, dims, rp, truth_at_ping)

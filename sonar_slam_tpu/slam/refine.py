@@ -108,6 +108,26 @@ class RefineParams(NamedTuple):
     # so the sweep can run much leaner gates at the same precision.
     sweep_min_covis: jax.Array  # int32: minimum mutual in-FOV point count
     sweep_min_inliers: jax.Array  # int32: sweep's own ICP-inlier gate
+    # the sweep's single-frame low-covisibility registrations are honest but
+    # noisier than windowed re-measurements (10-25 cm error tails measured on
+    # seed 0) — applying the tight remeasure floor to them over-weights the
+    # tail and can DEGRADE ATE even at precision 1.0. They get their own
+    # floor; loops that later survive the windowed re-measurement pass (the
+    # next refine iteration re-registers every logged loop) earn
+    # ``floor_sigmas`` then.
+    sweep_floor_sigmas: jax.Array  # (3,)
+    # additional inlier-count de-weighting for sweep insertions: covariance
+    # sigmas scale by clip(ref/inliers, 1, 4); 0 disables
+    sweep_cov_inlier_ref: jax.Array  # float32
+    # post-convergence loop prune: after the final optimize, any logged loop
+    # whose measurement disagrees with the converged relative pose by more
+    # than these gates is zero-weighted (sqrt_info := 0) and compacted out
+    # of the loop log, then the graph re-optimizes once. Catches the rare
+    # lean-gate sweep insertion that registered >25 cm off truth yet passed
+    # its guess-consistency gate because the local graph was equally off.
+    # <= 0 disables (traced).
+    prune_max_dt: jax.Array  # (m)
+    prune_max_dr: jax.Array  # (rad)
 
     @staticmethod
     def default() -> "RefineParams":
@@ -127,6 +147,10 @@ class RefineParams(NamedTuple):
             scale_min_axis_disp=f(0.5),
             sweep_min_covis=jnp.asarray(12, jnp.int32),
             sweep_min_inliers=jnp.asarray(20, jnp.int32),
+            sweep_floor_sigmas=jnp.asarray([0.1, 0.1, 0.02], jnp.float32),
+            sweep_cov_inlier_ref=f(0.0),
+            prune_max_dt=f(0.25),
+            prune_max_dr=f(0.08),
         )
 
 
@@ -525,7 +549,13 @@ def _sweep(
         cov = localize_covariance(
             censi_covariance(rr.info, rr.mse, rr.pose), rr.pose
         )
-        cov, _ = apply_covariance_floor(cov, rp.floor_sigmas)
+        cov, _ = apply_covariance_floor(cov, rp.sweep_floor_sigmas)
+        # inlier-count de-weighting: a 20-inlier single-frame fit is not a
+        # 60-inlier fit, whatever its Censi covariance claims
+        s = jnp.clip(
+            rp.sweep_cov_inlier_ref / jnp.maximum(rr.inliers, 1), 1.0, 4.0
+        )
+        cov = cov * jnp.where(rp.sweep_cov_inlier_ref > 0, s * s, 1.0)
         ok = ok & jnp.all(jnp.isfinite(rr.pose)) & jnp.all(jnp.isfinite(cov))
         return ok, rr.pose, cov
 
@@ -554,6 +584,52 @@ def _sweep(
 
     carry, _ = jax.lax.scan(insert_one, carry, jnp.arange(K * topk))
     return carry
+
+
+def _prune_loops(carry: SlamCarry, rp, dims: SlamDims) -> SlamCarry:
+    """Zero-weight and de-log loops that disagree with the converged graph.
+
+    A loop measurement more than ``prune_max_dt``/``prune_max_dr`` away from
+    the optimized relative pose of its endpoints is an outlier by consensus:
+    every odometry, chain, and sibling-loop factor votes against it. Its
+    factor keeps its slot but gets sqrt_info = 0 (weight zero in the normal
+    equations) and the loop log is compacted so downstream re-measurement,
+    metrics, and services never see it. Traced no-op when prune_max_dt <= 0.
+    """
+    L = dims.max_loops
+    lane = jnp.arange(L)
+    lvalid = lane < carry.num_loops
+    rel = jax.vmap(se2_between)(
+        carry.poses[carry.loops_i], carry.poses[carry.loops_j]
+    )
+    d = jax.vmap(se2_between)(carry.loops_tf, rel)
+    bad = (
+        lvalid
+        & (rp.prune_max_dt > 0)
+        & (
+            (jnp.linalg.norm(d[:, :2], axis=-1) > rp.prune_max_dt)
+            | (jnp.abs(d[:, 2]) > rp.prune_max_dr)
+        )
+    )
+    g = carry.graph
+    F = g.f_z.shape[0]
+    safe = jnp.where(bad & (carry.loops_slot >= 0), carry.loops_slot, F)
+    g = g._replace(
+        f_sqrt_info=g.f_sqrt_info.at[safe].set(
+            jnp.zeros((3, 3), jnp.float32), mode="drop"
+        )
+    )
+    # compact the log: keepers first, original order preserved
+    keep = lvalid & ~bad
+    order = jnp.argsort(~keep, stable=True)
+    return carry._replace(
+        graph=g,
+        loops_i=carry.loops_i[order],
+        loops_j=carry.loops_j[order],
+        loops_tf=carry.loops_tf[order],
+        loops_slot=carry.loops_slot[order],
+        num_loops=jnp.sum(keep).astype(carry.num_loops.dtype),
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -636,4 +712,8 @@ def refine_loops(
                 reg_between = jnp.where(
                     fresh[:, None], _loops_between(carry), reg_between
                 )
+    # consensus outlier prune + one final re-optimize (warm: converges in
+    # one sweep when nothing was pruned)
+    carry = _prune_loops(carry, rp, dims)
+    carry = opt(carry)
     return carry

@@ -324,3 +324,43 @@ def test_nssm_cadence_skips_off_cycle_keyframes():
     for k in range(dims.nssm_min_st_sep, K):
         if k % 3 != 0:
             assert status[k] == STATUS_NOT_ENOUGH_POINTS, (k, status[k])
+
+
+def test_prune_drops_consensus_outlier():
+    """A logged loop whose measurement grossly disagrees with the converged
+    relative pose is zero-weighted and compacted out of the log; a
+    consistent sibling survives with its slot intact."""
+    from sonar_slam_tpu.slam.refine import _prune_loops
+
+    dims = _dims()
+    carry, truth = _build_carry(dims, with_loop=True)  # consistent loop
+    # append a second, grossly wrong loop (1 m off the converged relative)
+    i, j = 3, K - 2
+    z_true = np.asarray(se2_between(jnp.asarray(truth[i]),
+                                    jnp.asarray(truth[j])))
+    z_bad = z_true + np.asarray([1.0, 0.6, 0.0], np.float32)
+    fslot = int(carry.graph.num_factors)
+    g = add_between(carry.graph, i, j, jnp.asarray(z_bad),
+                    cov_to_sqrt_info(jnp.diag(jnp.asarray(
+                        [0.04, 0.04, 0.004]))))
+    carry = carry._replace(
+        graph=g,
+        loops_i=carry.loops_i.at[1].set(i),
+        loops_j=carry.loops_j.at[1].set(j),
+        loops_tf=carry.loops_tf.at[1].set(jnp.asarray(z_bad)),
+        loops_slot=carry.loops_slot.at[1].set(fslot),
+        num_loops=jnp.asarray(2, jnp.int32),
+    )
+    rp = RefineParams.default()
+    out = _prune_loops(carry, rp, dims)
+    assert int(out.num_loops) == 1
+    assert int(out.loops_i[0]) == 2 and int(out.loops_j[0]) == K - 1
+    # pruned factor's whitening is zeroed -> weight 0 in the solve
+    assert float(jnp.abs(out.graph.f_sqrt_info[fslot]).max()) == 0.0
+    # survivor's factor untouched
+    surv_slot = int(out.loops_slot[0])
+    assert float(jnp.abs(out.graph.f_sqrt_info[surv_slot]).max()) > 0.0
+    # disabled gate (traced) is an exact no-op on the log
+    out2 = _prune_loops(carry, rp._replace(prune_max_dt=jnp.float32(0.0)),
+                        dims)
+    assert int(out2.num_loops) == 2
