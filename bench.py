@@ -216,7 +216,12 @@ def main() -> None:
                         pair_refine_min_inliers=25,
                         nssm_reinit_after_select=True, aggregate_with_dr=True,
                         estimate_dvl_scale=True, dvl_scale_prior_sigma=0.05,
-                        refine_iters=2, refine_sweep=True, refine_chain=True)
+                        refine_iters=2, refine_sweep=True, refine_chain=True,
+                        # direct chain-ratio scale anchor (r4 probe: seed-0
+                        # ATE 14.9 -> 12.1 at equal precision/recall; small
+                        # single-arc config measured worse with it — stays
+                        # full-config-only like the other drift features)
+                        refine_scale_from_chain=True)
         # (reinit / DR-relative aggregation / online DVL-scale calibration
         #  are multi-circuit-drift features; measured counterproductive on
         #  the short single-arc small config)
@@ -276,6 +281,11 @@ def main() -> None:
             [args.icp_floor, args.icp_floor, args.icp_floor / 10.0],
             jnp.float32))
     rparams = RefineParams.default()
+    if not args.small:
+        # finer sonar bins -> tighter consensus-prune gate (r4 probe:
+        # precision 1.0 at equal ATE and better loop medians than 0.25)
+        rparams = rparams._replace(prune_max_dt=jnp.float32(0.18),
+                                   prune_max_dr=jnp.float32(0.06))
     if args.refine_floor > 0:
         rparams = rparams._replace(floor_sigmas=jnp.asarray(
             [args.refine_floor, args.refine_floor, args.refine_floor / 5.0],

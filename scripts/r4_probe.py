@@ -136,6 +136,12 @@ def main():
                                  prune_max_dr=jnp.float32(pt / 3.0))
             elif part == "noprune":
                 rp = rp._replace(prune_max_dt=jnp.float32(0.0))
+            elif part.startswith("drgate"):  # chain-vs-DR gate, cm
+                g = float(part[6:]) / 100.0
+                rp = rp._replace(chain_dr_max_dt=jnp.float32(g),
+                                 chain_dr_max_dr=jnp.float32(g / 4.0))
+            elif part == "nodrgate":
+                rp = rp._replace(chain_dr_max_dt=jnp.float32(0.0))
             elif part != "default":
                 raise SystemExit(f"unknown rp preset part: {part}")
         return rp

@@ -322,6 +322,28 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
     return H, b
 
 
+def _scaled_cho_factor(H):
+    """Jacobi-preconditioned Cholesky: H = D (L Lᵀ) D with D = diag(√H_ii).
+
+    Exact in infinite precision. In fp32 the symmetric diagonal scaling
+    collapses the 1e-9..1e7 dynamic range of mixed pose / scale / padding
+    blocks (cm-level refined floors give whitened weights ~1/0.002² on the
+    rotation axis while padding rows sit at 1), which is what left the raw
+    factorization marginally PD on TPU — the NaN source the Levenberg
+    damping in ``optimize`` otherwise has to catch after the fact.
+    """
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
+    Hs = H / (d[:, None] * d[None, :])
+    return jnp.linalg.cholesky(Hs), d
+
+
+def _scaled_cho_solve(Lf, b):
+    """Solve H x = b given ``_scaled_cho_factor(H)`` (vector or matrix b)."""
+    L, d = Lf
+    dd = d if b.ndim == 1 else d[:, None]
+    return jax.scipy.linalg.cho_solve((L, True), b / dd) / dd
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def optimize(state: GraphState, config: GraphConfig) -> GraphState:
     """Run ``config.gn_iters`` relinearized Gauss-Newton sweeps.
@@ -341,16 +363,14 @@ def optimize(state: GraphState, config: GraphConfig) -> GraphState:
         poses, log_scale, it, prev_delta, lam = carry
         st = state._replace(poses=poses, log_scale=log_scale)
         H, b = _assemble_normal_equations(st, config)
-        # adaptive RELATIVE Levenberg damping: lam starts at 0 (pure GN,
-        # bit-identical to the undamped solve on healthy paths) and only
-        # escalates when a sweep's Cholesky fails in fp32 or the step
-        # magnitude grows — both observed on TPU under cm-level refined
-        # information weights (H entries ~1e5-1e7 leave the factorization
-        # marginally PD at fp32 rounding; a failed solve used to propagate
-        # NaN through every downstream stage).
+        # adaptive RELATIVE Levenberg damping: lam starts at 0 (pure GN on
+        # healthy paths) and only escalates when a sweep's Cholesky fails in
+        # fp32 or the step magnitude grows — both observed on TPU under
+        # cm-level refined information weights (a failed solve used to
+        # propagate NaN through every downstream stage).
         Hd = H + lam * jnp.diag(jnp.diagonal(H))
-        L = jnp.linalg.cholesky(Hd)
-        delta = -jax.scipy.linalg.cho_solve((L, True), b)
+        Lf = _scaled_cho_factor(Hd)
+        delta = -_scaled_cho_solve(Lf, b)
         finite = jnp.all(jnp.isfinite(delta))
         delta = jnp.where(finite, delta, 0.0)
         if config.estimate_scale:
@@ -411,12 +431,12 @@ def optimize_with_marginal(state: GraphState, k, config: GraphConfig):
     with jax.default_matmul_precision("highest"):
         state = optimize(state, config)
         H, _ = _assemble_normal_equations(state, config)
-        L = jnp.linalg.cholesky(H)
+        Lf = _scaled_cho_factor(H)
         n = 3 * K + (2 if config.estimate_scale else 0)
         e = jnp.zeros((n, 3), jnp.float32)
         rows = 3 * jnp.asarray(k, jnp.int32) + jnp.arange(3)
         e = e.at[rows, jnp.arange(3)].set(1.0)
-        cols = jax.scipy.linalg.cho_solve((L, True), e)
+        cols = _scaled_cho_solve(Lf, e)
     return state, cols[rows, :]
 
 
@@ -426,12 +446,12 @@ def marginal_covariance(state: GraphState, k, config: GraphConfig) -> jax.Array:
     `slam.py:1233`): the (k, k) block of H⁻¹ at the current linearization."""
     with jax.default_matmul_precision("highest"):
         H, _ = _assemble_normal_equations(state, config)
-        L = jnp.linalg.cholesky(H)
+        Lf = _scaled_cho_factor(H)
         n = 3 * config.max_poses + (2 if config.estimate_scale else 0)
         e = jnp.zeros((n, 3), jnp.float32)
         rows = 3 * jnp.asarray(k, jnp.int32) + jnp.arange(3)
         e = e.at[rows, jnp.arange(3)].set(1.0)
-        cols = jax.scipy.linalg.cho_solve((L, True), e)
+        cols = _scaled_cho_solve(Lf, e)
         return cols[rows, :]
 
 

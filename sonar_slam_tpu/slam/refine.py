@@ -119,6 +119,16 @@ class RefineParams(NamedTuple):
     # additional inlier-count de-weighting for sweep insertions: covariance
     # sigmas scale by clip(ref/inliers, 1, 4); 0 disables
     sweep_cov_inlier_ref: jax.Array  # float32
+    # chain-vs-dead-reckoning deviation gate: a consecutive chain
+    # registration that disagrees with the (scale-corrected) raw DR delta
+    # over the same interval is wrong — DR is cm-accurate over one 3 m
+    # keyframe interval, so this is a far tighter independent check than
+    # the 35 cm pose-guess consistency gate. Catches the single tens-of-cm
+    # biased link that, under a tight chain floor, Cauchy lets dominate the
+    # whole graph (seed 0: ATE 13 -> 37 cm at any chain floor < 5 cm).
+    # <= 0 disables (traced).
+    chain_dr_max_dt: jax.Array  # (m)
+    chain_dr_max_dr: jax.Array  # (rad)
     # post-convergence loop prune: after the final optimize, any logged loop
     # whose measurement disagrees with the converged relative pose by more
     # than these gates is zero-weighted (sqrt_info := 0) and compacted out
@@ -149,6 +159,11 @@ class RefineParams(NamedTuple):
             sweep_min_inliers=jnp.asarray(20, jnp.int32),
             sweep_floor_sigmas=jnp.asarray([0.1, 0.1, 0.02], jnp.float32),
             sweep_cov_inlier_ref=f(0.0),
+            chain_dr_max_dt=f(0.12),
+            chain_dr_max_dr=f(0.03),
+            # default scales with the coarser small-config sonar bins; the
+            # full production config overrides to 0.18/0.06 (bench.py) —
+            # like the covariance floor, the right gate tracks bin size
             prune_max_dt=f(0.25),
             prune_max_dr=f(0.08),
         )
@@ -407,10 +422,24 @@ def _densify_chain(
             c.points[prev], c.pmasks[prev], guess, dims.icp,
         )
         dd = se2_between(guess, rr.pose)
+        # independent cross-check vs the scale-corrected raw DR delta over
+        # the same interval (see RefineParams.chain_dr_max_*)
+        zd = se2_between(c.dr_poses[prev], c.dr_poses[k])
+        zd = zd.at[:2].multiply(jnp.exp(c.graph.log_scale))
+        dr_dev_t = jnp.linalg.norm(rr.pose[:2] - zd[:2])
+        dr_dev_r = jnp.abs(
+            jnp.mod(rr.pose[2] - zd[2] + jnp.pi, 2 * jnp.pi) - jnp.pi
+        )
+        dr_ok = (
+            (rp.chain_dr_max_dt <= 0)
+            | ((dr_dev_t <= rp.chain_dr_max_dt)
+               & (dr_dev_r <= rp.chain_dr_max_dr))
+        )
         ok = (
             (k >= 1)
             & (k < c.num_kf)
             & rr.ok
+            & dr_ok
             & (rr.inliers >= rp.min_inliers)
             & (jnp.linalg.norm(dd[:2]) <= dims.pair_refine_max_dt)
             & (jnp.abs(dd[2]) <= dims.pair_refine_max_dr)
