@@ -221,7 +221,10 @@ def main() -> None:
                         # ATE 14.9 -> 12.1 at equal precision/recall; small
                         # single-arc config measured worse with it — stays
                         # full-config-only like the other drift features)
-                        refine_scale_from_chain=True)
+                        refine_scale_from_chain=True,
+                        # top-64-by-covisibility sweep lane budget: exact
+                        # (~40-60 eligible pairs/iter) at half the lanes
+                        refine_sweep_budget=64)
         # (reinit / DR-relative aggregation / online DVL-scale calibration
         #  are multi-circuit-drift features; measured counterproductive on
         #  the short single-arc small config)

@@ -176,6 +176,13 @@ class SlamDims:
     # converted); k=2-3 converts sources that see several prior passes of
     # the survey into multiple anchors.
     refine_sweep_topk: int = 1
+    # static lane budget for the sweep's registration fan-out: the top
+    # ``budget`` (source, target) pairs by co-visibility score register, the
+    # rest are dropped BEFORE the ICP batch. With K*topk lanes but only
+    # ~K/2 genuinely eligible pairs per iteration, a budget >= the eligible
+    # count is EXACT (the dropped lanes had score <= 0 and never inserted)
+    # while halving the sweep's device time. 0 = no budget (all K*topk).
+    refine_sweep_budget: int = 0
     # measure the DVL scale DIRECTLY from the densified chain: after the
     # chain stage, set the graph's log_scale anchor to the median log-ratio
     # of accepted chain registrations (metric) to raw DR deltas (scaled),

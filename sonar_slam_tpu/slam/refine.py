@@ -560,6 +560,12 @@ def _sweep(
     src_of = jnp.repeat(idx, topk)  # (K*topk,) lane axis
     tgt_of = tgts.reshape(-1)
     has_tgt = (vals > 0).reshape(-1)
+    B = dims.refine_sweep_budget
+    if B and B < K * topk:
+        # compact to the top-B lanes by score (exact when <= B lanes are
+        # eligible — the dropped ones had score <= 0 and never inserted)
+        bv, bidx = jax.lax.top_k(vals.reshape(-1), B)
+        src_of, tgt_of, has_tgt = src_of[bidx], tgt_of[bidx], bv > 0
 
     def one(c, j, i, has):
         guess = se2_between(c.poses[i], c.poses[j])
@@ -611,7 +617,7 @@ def _sweep(
             num_loops=c.num_loops + en.astype(jnp.int32),
         ), None
 
-    carry, _ = jax.lax.scan(insert_one, carry, jnp.arange(K * topk))
+    carry, _ = jax.lax.scan(insert_one, carry, jnp.arange(src_of.shape[0]))
     return carry
 
 

@@ -364,3 +364,29 @@ def test_prune_drops_consensus_outlier():
     out2 = _prune_loops(carry, rp._replace(prune_max_dt=jnp.float32(0.0)),
                         dims)
     assert int(out2.num_loops) == 2
+
+
+def test_sweep_budget_exact_when_unsaturated():
+    """A sweep lane budget >= the eligible-pair count returns bit-identical
+    results to the unbudgeted sweep (the dropped lanes all had score <= 0)."""
+    from dataclasses import replace
+
+    dims = _dims(refine_sweep=True)
+    carry, _ = _build_carry(dims, with_loop=False)
+    params = _params(dims)
+    full = refine_loops(carry, params, RefineParams.default(), dims)
+    budgeted = refine_loops(
+        carry, params, RefineParams.default(),
+        replace(dims, refine_sweep_budget=8),
+    )
+    assert int(full.num_loops) == int(budgeted.num_loops)
+    np.testing.assert_array_equal(np.asarray(full.poses),
+                                  np.asarray(budgeted.poses))
+    # lane compaction reorders the log (score order vs source order) — the
+    # SET of loop measurements is what must match
+    def key(c):
+        n = int(c.num_loops)
+        rows = np.c_[np.asarray(c.loops_i)[:n], np.asarray(c.loops_j)[:n],
+                     np.asarray(c.loops_tf)[:n]]
+        return rows[np.lexsort(rows.T[::-1])]
+    np.testing.assert_allclose(key(full), key(budgeted), rtol=0, atol=0)
