@@ -98,8 +98,9 @@ def main():
     fc = FeatureConfig(max_points=dims0.max_points)
     variants = []
     for v in args.variants.split(","):
-        tk, inc, anc, ml = (v.split(":") + ["0", "0"])[:4]
-        variants.append((int(tk), bool(int(inc)), bool(int(anc)), int(ml)))
+        tk, inc, anc, ml, asig = (v.split(":") + ["0", "0", "0"])[:5]
+        variants.append((int(tk), bool(int(inc)), bool(int(anc)), int(ml),
+                         int(asig)))
 
     def mk_rp(name):
         rp = RefineParams.default()
@@ -142,6 +143,9 @@ def main():
                                  chain_dr_max_dr=jnp.float32(g / 4.0))
             elif part == "nodrgate":
                 rp = rp._replace(chain_dr_max_dt=jnp.float32(0.0))
+            elif part.startswith("rg"):  # anchor rotation gate, centirad
+                rp = rp._replace(scale_max_rot=jnp.float32(
+                    float(part[2:]) / 100.0))
             elif part != "default":
                 raise SystemExit(f"unknown rp preset part: {part}")
         return rp
@@ -154,12 +158,15 @@ def main():
         bag = simulate_bag(replace(sim0, seed=seed))
         print(f"# seed {seed} sim {time.time()-t0:.0f}s", flush=True)
         truth_at_ping = bag.true_pose_at_ping
-        for tk, inc, anc, ml in variants:
+        for tk, inc, anc, ml, asig in variants:
             dims = replace(dims0, refine_sweep_topk=tk,
                            refine_incremental=inc,
                            refine_scale_from_chain=anc)
             if ml:  # max_loops override (max_factors derives from it)
                 dims = replace(dims, max_loops=ml)
+            if asig:  # anchor-pin sigma override, units of 1e-4
+                dims = replace(dims, refine_scale_anchor_sigma=(
+                    asig * 1e-4, dims.refine_scale_anchor_sigma[1]))
             for rp_name, rp in rps:
                 try:
                     rec = run_one(bag, fc, params, dims, rp, truth_at_ping)

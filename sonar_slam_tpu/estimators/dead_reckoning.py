@@ -29,7 +29,16 @@ from ..geometry import rot3_ypr, rot3_to_ypr, rot3_inverse, pose3_make
 
 
 class DRConfig(NamedTuple):
-    dvl_max_velocity: float = 0.5  # dead_reckoning.yaml
+    # DVL over-speed outlier gate. The reference ships 0.5 in
+    # dead_reckoning.yaml for a vehicle cruising ~0.25 m/s — i.e. the gate
+    # sits ~2x above cruise so it only catches genuine DVL glitches. Our
+    # benchmark vehicle cruises at 0.5 m/s; mirroring the literal 0.5 put
+    # the gate ON the operating point, silently censoring the upper tail of
+    # the (noisy, scale-stretched) forward velocity: measured, it swallowed
+    # 40-100% of the injected DVL scale bias per seed and left a -0.5%
+    # speed bias even on unbiased data. Default preserves the reference's
+    # 2x-cruise INTENT; loading the reference yaml still yields its 0.5.
+    dvl_max_velocity: float = 1.0
     keyframe_duration: float = 1.0
     keyframe_translation: float = 4.0
     keyframe_rotation: float = 0.5235988  # deg(30)

@@ -35,7 +35,10 @@ class KalmanConfig(NamedTuple):
     H_gyro: jax.Array
     R_gyro: jax.Array
     dt_imu: float = 0.005
-    dvl_max_velocity: float = 0.5
+    # over-speed gate sized ~2x above benchmark cruise speed (see the
+    # DRConfig.dvl_max_velocity note in dead_reckoning.py); the yaml loader
+    # still yields the reference's literal 0.5
+    dvl_max_velocity: float = 1.0
     imu_offset: float = jnp.pi  # radians (kalman.yaml imu_offset: 180 deg)
     use_gyro: bool = False
 

@@ -138,6 +138,14 @@ class RefineParams(NamedTuple):
     # <= 0 disables (traced).
     prune_max_dt: jax.Array  # (m)
     prune_max_dr: jax.Array  # (rad)
+    # scale-anchor sample gate on interval rotation: the per-axis ratio
+    # model z_chain[a]/z_dr[a] ~ exp(-log_scale[a]) only holds while the
+    # body axes stay aligned over the interval — on turning intervals the
+    # DVL stretch rotates through the interval and the per-axis ratios mix
+    # both axes (exactly where |z_y| is large enough to pass the
+    # displacement gate, so unstretched turn samples would otherwise
+    # dominate the y anchor). <= 0 disables (traced).
+    scale_max_rot: jax.Array  # (rad)
 
     @staticmethod
     def default() -> "RefineParams":
@@ -166,6 +174,7 @@ class RefineParams(NamedTuple):
             # like the covariance floor, the right gate tracks bin size
             prune_max_dt=f(0.25),
             prune_max_dr=f(0.08),
+            scale_max_rot=f(0.0),
         )
 
 
@@ -505,10 +514,15 @@ def _anchor_scale_from_chain(
     prev = jnp.maximum(idx - 1, 0)
     zd = jax.vmap(se2_between)(carry.dr_poses[prev], carry.dr_poses[idx])
 
+    rot_ok = (rp.scale_max_rot <= 0) | (
+        jnp.abs(zd[:, 2]) <= rp.scale_max_rot
+    )
+
     def axis_anchor(a: int, min_n: int = 8) -> jax.Array:
         num, den = chain_z[:, a], zd[:, a]
         use = (
             chain_ok
+            & rot_ok
             & (jnp.abs(den) > rp.scale_min_axis_disp)
             & (num * den > 0)
         )
