@@ -128,6 +128,9 @@ def main() -> None:
     ap.add_argument("--refine-incremental", type=int, default=-1,
                     help="override refine_incremental (STATIC - recompiles; "
                          "-1 = config default)")
+    ap.add_argument("--scale-basis", type=int, default=-1,
+                    help="override refine_scale_basis (joint 2x2 DVL-scale "
+                         "solve from basis integrals; STATIC - recompiles)")
     ap.add_argument("--scale-anchor", type=int, default=-1,
                     help="override refine_scale_from_chain (STATIC - "
                          "recompiles; -1 = config default)")
@@ -153,7 +156,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from sonar_slam_tpu.cloud import ICPConfig
-    from sonar_slam_tpu.estimators import DRConfig, dead_reckoning_scan
+    from sonar_slam_tpu.estimators import (
+        DRConfig, dead_reckoning_scan, dvl_basis_scan,
+    )
     from sonar_slam_tpu.geometry import pose3_to_pose2
     from sonar_slam_tpu.io.dataset import (
         SensorStreams,
@@ -245,6 +250,10 @@ def main() -> None:
         from dataclasses import replace as _dcr2
 
         dims = _dcr2(dims, refine_incremental=bool(args.refine_incremental))
+    if args.scale_basis >= 0:
+        from dataclasses import replace as _dcr4
+
+        dims = _dcr4(dims, refine_scale_basis=bool(args.scale_basis))
     if args.scale_anchor >= 0:
         from dataclasses import replace as _dcr3
 
@@ -324,6 +333,9 @@ def main() -> None:
     ping_time_dev = jnp.asarray(bag.ping_time, jnp.float32)
     sync_dev = jnp.asarray(sync_ok)
 
+    use_basis = (do_refine and dims.refine_scale_basis
+                 and dims.estimate_dvl_scale)
+
     @jax.jit
     def stage1():
         _, dr3 = dead_reckoning_scan(bundle.ticks, dr_config)
@@ -331,7 +343,11 @@ def main() -> None:
         kf_mask = select_keyframes(
             ping_time_dev, pose3_to_pose2(ping_dr3), sync_dev, params
         )
-        return kf_mask, ping_dr3
+        # DVL basis integrals for the refinement stage's joint scale solve
+        # (two extra DR scans; ~free next to the SLAM scan)
+        ping_basis = (dvl_basis_scan(bundle.ticks, dr_config)[tick_idx]
+                      if use_basis else jnp.zeros((1, 2, 2), jnp.float32))
+        return kf_mask, ping_dr3, ping_basis
 
     # features (host-composed small jit units) and the SLAM scan stay
     # SEPARATE programs: one fused jit takes the remote compile service past
@@ -396,7 +412,7 @@ def main() -> None:
     def device_pipeline(diagnostic=False):
         if diagnostic:
             stage_ms.clear()
-            kf_mask, ping_dr3 = timed("dr_gate", stage1)
+            kf_mask, ping_dr3, ping_basis = timed("dr_gate", stage1)
             kf_idx, sel_d, valid_d = host_select(kf_mask)
             pts, masks = timed("features", extractor.extract_batch,
                                ping_images[sel_d])
@@ -404,17 +420,19 @@ def main() -> None:
                                    ping_dr3, pts, masks)
             if do_refine:
                 carry = timed("refine", refine_loops, carry, params,
-                              rparams, dims)
+                              rparams, dims, None,
+                              ping_basis[sel_d] if use_basis else None)
             occ = timed("mapping", stage3_mapping, carry.poses, carry.points,
                         carry.pmasks, valid_d)
         else:
-            kf_mask, ping_dr3 = stage1()
+            kf_mask, ping_dr3, ping_basis = stage1()
             jax.block_until_ready(kf_mask)  # host needs the indices
             kf_idx, sel_d, valid_d = host_select(kf_mask)
             pts, masks = extractor.extract_batch(ping_images[sel_d])
             carry, outputs = stage2b(sel_d, valid_d, ping_dr3, pts, masks)
             if do_refine:
-                carry = refine_loops(carry, params, rparams, dims)
+                carry = refine_loops(carry, params, rparams, dims, None,
+                                     ping_basis[sel_d] if use_basis else None)
             occ = stage3_mapping(carry.poses, carry.points, carry.pmasks,
                                  valid_d)
             jax.block_until_ready((carry.poses, occ))
@@ -532,7 +550,7 @@ def main() -> None:
                 return slam_scan(frames, pparams, pdims)
 
             def parity_pipeline():
-                kf_mask, ping_dr3 = stage1()
+                kf_mask, ping_dr3, _ = stage1()
                 jax.block_until_ready(kf_mask)
                 kf_idx_p, sel_d, valid_d = host_select(kf_mask)
                 pts, masks = extractor.extract_batch(ping_images[sel_d])

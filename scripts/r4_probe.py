@@ -81,6 +81,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seed-list", default="",
+                    help="explicit comma list of seeds (overrides --seeds)")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--variants", default="1:0:0,2:0:0",
                     help="comma list of topk:incremental:anchor static "
@@ -98,9 +100,9 @@ def main():
     fc = FeatureConfig(max_points=dims0.max_points)
     variants = []
     for v in args.variants.split(","):
-        tk, inc, anc, ml, asig = (v.split(":") + ["0", "0", "0"])[:5]
+        tk, inc, anc, ml, asig, basis = (v.split(":") + ["0"] * 4)[:6]
         variants.append((int(tk), bool(int(inc)), bool(int(anc)), int(ml),
-                         int(asig)))
+                         int(asig), bool(int(basis))))
 
     def mk_rp(name):
         rp = RefineParams.default()
@@ -153,15 +155,18 @@ def main():
     rps = [(n, mk_rp(n)) for n in args.rps.split(",")]
 
     results = []
-    for seed in range(args.seeds):
+    seed_iter = ([int(s) for s in args.seed_list.split(",")]
+                 if args.seed_list else range(args.seeds))
+    for seed in seed_iter:
         t0 = time.time()
         bag = simulate_bag(replace(sim0, seed=seed))
         print(f"# seed {seed} sim {time.time()-t0:.0f}s", flush=True)
         truth_at_ping = bag.true_pose_at_ping
-        for tk, inc, anc, ml, asig in variants:
+        for tk, inc, anc, ml, asig, basis in variants:
             dims = replace(dims0, refine_sweep_topk=tk,
                            refine_incremental=inc,
-                           refine_scale_from_chain=anc)
+                           refine_scale_from_chain=anc,
+                           refine_scale_basis=basis)
             if ml:  # max_loops override (max_factors derives from it)
                 dims = replace(dims, max_loops=ml)
             if asig:  # anchor-pin sigma override, units of 1e-4
@@ -173,7 +178,7 @@ def main():
                 except Exception as e:  # keep the matrix going
                     rec = {"error": repr(e)[:200]}
                 rec.update(seed=seed, topk=tk, incremental=int(inc),
-                           anchor=int(anc), rp=rp_name)
+                           anchor=int(anc), basis=int(basis), rp=rp_name)
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
                 if args.out:

@@ -14,6 +14,7 @@ from .dead_reckoning import (
     dead_reckoning_init,
     dead_reckoning_step,
     dead_reckoning_scan,
+    dvl_basis_scan,
     prepare_imu_euler,
 )
 from .gyro import GyroConfig, gyro_integrate

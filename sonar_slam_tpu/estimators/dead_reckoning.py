@@ -149,3 +149,30 @@ def dead_reckoning_scan(ticks: DRTicks, config: DRConfig):
         return dead_reckoning_step(state, tick, config)
 
     return jax.lax.scan(body, dead_reckoning_init(), tuple(ticks))
+
+
+def dvl_basis_scan(ticks: DRTicks, config: DRConfig) -> jax.Array:
+    """Cumulative world-frame basis integrals of the body-x / body-y DVL
+    velocity components: (T, 2, 2) where ``basis[t, a]`` is the planar
+    position the DR would reach integrating ONLY body-axis-``a`` velocity.
+
+    This linearly decomposes the DR translation by velocity axis:
+    ``pos_xy(t) = basis[t, 0] + basis[t, 1]`` and, under per-axis velocity
+    corrections ``(cx, cy)``, ``pos_xy(t; c) = cx*basis[t,0] +
+    cy*basis[t,1]`` — EXACTLY, including through turns where the body axes
+    rotate (the per-axis keyframe-delta ratio model used before round 4
+    breaks precisely there). Consumed by the refinement stage's direct
+    DVL-scale least-squares solve
+    (``slam/refine.py::solve_scale_from_basis``). No reference analog (the
+    reference has no online scale calibration at all).
+
+    Implemented as two extra ``dead_reckoning_scan`` passes with the other
+    axis's velocity zeroed — bit-identical gate/trapezoid/yaw semantics
+    (the over-speed gate keys on the dominant forward axis in practice, so
+    zeroing the ~0 lateral component does not change gate decisions).
+    """
+    ex = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    ey = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    _, px = dead_reckoning_scan(ticks._replace(vel=ticks.vel * ex), config)
+    _, py = dead_reckoning_scan(ticks._replace(vel=ticks.vel * ey), config)
+    return jnp.stack([px[:, :2], py[:, :2]], axis=1)

@@ -29,6 +29,7 @@ from .estimators import (
     GyroConfig,
     KalmanConfig,
     dead_reckoning_scan,
+    dvl_basis_scan,
     gyro_integrate,
     kalman_scan,
 )
@@ -113,6 +114,7 @@ def replay(
     mesh=None,  # jax.sharding.Mesh: shard the refinement fan-outs (§5.7)
 ) -> ReplayResult:
     # 1) odometry front end
+    tick_basis = None  # (T, 2, 2) DVL basis integrals (dr frontends only)
     if frontend == "kalman":
         if kalman_config is None:
             from .io.config import load_kalman_config
@@ -155,6 +157,8 @@ def replay(
         bundle = build_dr_ticks(streams)
         _, dr_poses3 = dead_reckoning_scan(bundle.ticks, dr_config)
         tick_time = bundle.tick_time
+        if dims.refine_scale_basis and dims.estimate_dvl_scale:
+            tick_basis = dvl_basis_scan(bundle.ticks, dr_config)
 
     # 2) pair pings with odometry (approximate-time sync, slop 0.5 s)
     tick_idx, sync_ok = match_pings_to_ticks(bag.ping_time, tick_time)
@@ -202,11 +206,15 @@ def replay(
     # 5b) post-convergence loop re-registration (slam/refine.py), optionally
     # sharding its registration fan-outs over a device mesh
     if dims.refine_iters > 0:
+        kf_basis = (
+            jnp.asarray(tick_basis[tick_idx][sel])
+            if tick_basis is not None else None
+        )
         carry = refine_loops(
             carry, params,
             refine_params if refine_params is not None
             else RefineParams.default(),
-            dims, mesh,
+            dims, mesh, kf_basis,
         )
 
     nk = int(carry.num_kf)

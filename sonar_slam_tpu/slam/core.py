@@ -195,6 +195,14 @@ class SlamDims:
     # estimate. See slam/refine.py::_anchor_scale_from_chain.
     refine_scale_from_chain: bool = False
     refine_scale_anchor_sigma: tuple = (0.005, 0.01)
+    # upgrade the anchor to the joint 2x2 least squares over the DVL basis
+    # integrals (estimators.dvl_basis_scan + refine.solve_scale_from_basis):
+    # the per-axis ratio median is exact only on rotation-free intervals,
+    # while the basis solve models turns exactly — which is where the y
+    # axis is observable at all on crab trajectories. Requires the pipeline
+    # to pass refine_loops a scale_basis array (pipeline.replay and bench
+    # do when this is set).
+    refine_scale_basis: bool = False
     # incremental re-measurement: on refinement iterations >= 1, only
     # re-register the loop lanes whose endpoint RELATIVE pose moved beyond
     # RefineParams.move_gate_* since their last registration, compacted to

@@ -492,12 +492,69 @@ def _densify_chain(
     return carry, ok, z
 
 
+def solve_scale_from_basis(
+    chain_ok: jax.Array,  # (K,) accepted chain registrations
+    chain_z: jax.Array,  # (K, 3) measurements (frame k-1 -> k, prev body)
+    basis: jax.Array,  # (K, 2, 2) cumulative DVL basis at keyframes
+    dr_heading: jax.Array,  # (K,) raw-DR heading at keyframes
+    prior_sigma: tuple,  # per-axis Gaussian prior sigma on the correction
+    meas_sigma: float = 0.02,  # chain-registration noise (m)
+    min_n: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Joint per-axis DVL-scale correction from the refined chain and the
+    DVL basis integrals (``estimators.dead_reckoning.dvl_basis_scan``).
+
+    Per interval k the raw-DR planar delta decomposes EXACTLY by velocity
+    axis: ``dr_delta_k(c) = cx*a_k + cy*b_k`` with ``a_k = basis[k,0] -
+    basis[k-1,0]`` (world frame), so the metric chain registration gives
+    one 2-equation row ``z_k ≈ cx*ā_k + cy*b̄_k`` (bars: rotated into the
+    interval-start body frame, where ``z_k`` lives). Solving the 2x2
+    weighted least squares over ALL accepted intervals uses turning
+    intervals CORRECTLY — they are where the y axis is observable, and
+    they are exactly where the pre-round-4 per-axis ratio median broke
+    (the stretch rotates through the interval and the per-axis ratios mix
+    axes; measured: y anchors off by ±4%, gating turns away lost x
+    accuracy too). A Gaussian prior on each axis keeps the solve sane when
+    the trajectory has no turns at all.
+
+    Returns ``(log_correction (2,), enough (bool))``; ``exp(log_corr)``
+    maps raw-DR displacement onto metric displacement (the
+    ``GraphState.log_scale`` convention).
+    """
+    K = chain_z.shape[0]
+    idx = jnp.arange(K)
+    prev = jnp.maximum(idx - 1, 0)
+    d = basis[idx] - basis[prev]  # (K, 2 axis, 2 world)
+    th = dr_heading[prev]
+    c, s = jnp.cos(th), jnp.sin(th)
+
+    def to_body(v):  # world -> interval-start body frame
+        return jnp.stack(
+            [c * v[..., 0] + s * v[..., 1], -s * v[..., 0] + c * v[..., 1]],
+            axis=-1,
+        )
+
+    A = jnp.stack([to_body(d[:, 0]), to_body(d[:, 1])], axis=-1)  # (K,2,2)
+    z = chain_z[:, :2]
+    w = (chain_ok.astype(jnp.float32) / (meas_sigma**2))[:, None, None]
+    M = jnp.sum(w * (jnp.swapaxes(A, 1, 2) @ A), axis=0)
+    v = jnp.sum((w * jnp.swapaxes(A, 1, 2)) @ z[:, :, None], axis=0)[:, 0]
+    pw = 1.0 / jnp.asarray(prior_sigma, jnp.float32) ** 2
+    M = M + jnp.diag(pw)
+    v = v + pw  # prior center: correction 1 (nominal)
+    sol = jnp.linalg.solve(M, v)
+    sol = jnp.clip(sol, 0.9, 1.1)
+    enough = jnp.sum(chain_ok) >= min_n
+    return jnp.log(sol), enough
+
+
 def _anchor_scale_from_chain(
     carry: SlamCarry,
     chain_ok: jax.Array,  # (K,) accepted chain registrations
     chain_z: jax.Array,  # (K, 3) their measurements (frame k-1 -> k)
     rp,
     dims: SlamDims,
+    scale_basis: jax.Array | None = None,  # (K, 2, 2) dvl_basis_scan at kf
 ) -> SlamCarry:
     """Measure the DVL scale correction directly: per accepted chain
     interval, exp(log_scale) should map the raw DR delta onto the metric
@@ -509,6 +566,15 @@ def _anchor_scale_from_chain(
     the current in-graph estimate. The result is written to
     ``GraphState.log_scale_anchor`` (and seeds ``log_scale``); the caller
     pins it with ``SlamDims.refine_scale_anchor_sigma``."""
+    if scale_basis is not None:
+        anchor, enough = solve_scale_from_basis(
+            chain_ok, chain_z, scale_basis, carry.dr_poses[:, 2],
+            (dims.dvl_scale_prior_sigma, dims.dvl_scale_prior_sigma_y),
+        )
+        anchor = jnp.where(enough, anchor, carry.graph.log_scale)
+        g = carry.graph._replace(log_scale_anchor=anchor, log_scale=anchor)
+        return carry._replace(graph=g)
+
     K = dims.max_keyframes
     idx = jnp.arange(K)
     prev = jnp.maximum(idx - 1, 0)
@@ -688,6 +754,7 @@ def refine_loops(
     rp: RefineParams,
     dims: SlamDims,
     mesh: Mesh | None = None,
+    scale_basis: jax.Array | None = None,  # (K, 2, 2) dvl_basis_scan @ kf
 ) -> SlamCarry:
     """Iterated post-convergence refinement: re-measure -> optimize
     (-> sweep -> optimize) x ``dims.refine_iters``.
@@ -743,7 +810,9 @@ def refine_loops(
         if it == 0 and dims.refine_chain:
             carry, ch_ok, ch_z = _densify_chain(carry, params, rp, dims, mesh)
             if dims.refine_scale_from_chain and dims.estimate_dvl_scale:
-                carry = _anchor_scale_from_chain(carry, ch_ok, ch_z, rp, dims)
+                carry = _anchor_scale_from_chain(
+                    carry, ch_ok, ch_z, rp, dims, scale_basis
+                )
                 cur_cfg[0] = gcfg_anchored
             carry = opt(carry)
         # the sweep runs EVERY iteration: the first pass's corrections open

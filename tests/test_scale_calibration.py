@@ -301,3 +301,119 @@ def test_get_states_and_pose_uncertainty_with_scale_config():
     )
     assert covs.shape == (2, 3, 3)
     assert np.isfinite(covs).all()
+
+
+# ---------------------------------------------------------------------------
+# round 4: joint per-axis solve from DVL basis integrals
+
+
+def _simulate_ticks(sx, sy, crab=0.07, speed=0.5, duration=200.0, hz=5.0,
+                    noise=0.0, seed=0):
+    """Square-ish survey with four turns; body velocity mostly forward with
+    a small lateral (crab) component; DVL stretched per axis by (sx, sy).
+    Returns (DRTicks with STRETCHED velocities, true planar poses (T, 3))."""
+    from sonar_slam_tpu.estimators import DRTicks
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(0.0, duration, 1.0 / hz).astype(np.float32)
+    T = len(t)
+    # heading: straight legs + smooth 90-degree turns
+    seg = T // 8
+    rate = np.zeros(T, np.float32)
+    for i in range(1, 8, 2):
+        rate[i * seg:(i + 1) * seg] = (np.pi / 2) / (seg / hz)
+    yaw = np.cumsum(rate / hz).astype(np.float32)
+    v_body = np.stack([
+        np.full(T, speed * np.cos(crab), np.float32),
+        np.full(T, speed * np.sin(crab), np.float32),
+        np.zeros(T, np.float32),
+    ], -1)
+    # truth: integrate the UNstretched velocity with the DR's exact
+    # semantics (delta rotated by the PREVIOUS tick's yaw; first tick only
+    # initializes) so the chain measurements and the basis integrals see
+    # the same discretization — in the real pipeline both sides live on
+    # the same sensor stream, so this is representative, not a fudge
+    dt = 1.0 / hz
+    yaw_prev = np.concatenate([yaw[:1], yaw[:-1]])
+    cy, sy_ = np.cos(yaw_prev), np.sin(yaw_prev)
+    dx = (cy * v_body[:, 0] - sy_ * v_body[:, 1]) * dt
+    dy = (sy_ * v_body[:, 0] + cy * v_body[:, 1]) * dt
+    dx[0] = dy[0] = 0.0
+    truth = np.stack([np.cumsum(dx), np.cumsum(dy), yaw], -1)
+    vel = v_body * np.array([sx, sy, 1.0], np.float32)
+    vel = vel + rng.normal(scale=noise, size=vel.shape).astype(np.float32)
+    ticks = DRTicks(
+        time=jnp.asarray(t),
+        vel=jnp.asarray(vel, jnp.float32),
+        euler=jnp.asarray(np.stack(
+            [np.zeros(T), np.zeros(T), yaw], -1), jnp.float32),
+        gyro_yaw=jnp.zeros(T, jnp.float32),
+        depth=jnp.zeros(T, jnp.float32),
+        valid=jnp.ones(T, bool),
+    )
+    return ticks, truth
+
+
+def _basis_solve(sx, sy, crab):
+    from sonar_slam_tpu.estimators import DRConfig, dvl_basis_scan
+    from sonar_slam_tpu.geometry import se2_between
+    from sonar_slam_tpu.slam.refine import solve_scale_from_basis
+
+    ticks, truth = _simulate_ticks(sx, sy, crab=crab)
+    cfg = DRConfig(roll_offset=0.0)
+    basis = dvl_basis_scan(ticks, cfg)
+    # keyframes every ~6 s
+    kf = np.arange(0, len(truth), 30)
+    tk = jnp.asarray(truth[kf], jnp.float32)
+    chain_z = jax.vmap(se2_between)(
+        jnp.concatenate([tk[:1], tk[:-1]]), tk)  # k-1 -> k (k=0 unused)
+    ok = jnp.arange(len(kf)) >= 1
+    # dr heading at keyframes: the sim feeds yaw directly (no drift here)
+    log_c, enough = solve_scale_from_basis(
+        ok, chain_z, basis[kf], jnp.asarray(truth[kf, 2]),
+        prior_sigma=(0.05, 0.01),
+    )
+    assert bool(enough)
+    c = np.exp(np.asarray(log_c))
+    return 1.0 / c[0], 1.0 / c[1]
+
+
+@pytest.mark.parametrize("sx,sy", [(1.02, 0.99), (0.985, 1.012)])
+def test_basis_solve_crab_trajectory(sx, sy):
+    """On a realistic crab trajectory (4 deg): x recovers to <0.2%; y is
+    weakly observed (lateral VELOCITY is tiny — turns rotate the x
+    velocity, which the basis decomposition correctly attributes to the x
+    axis) so the prior shrinks it toward nominal. The contract: y moves
+    TOWARD truth, never past it, and never produces the ±4% garbage the
+    per-interval ratio median measured on turning intervals."""
+    est_sx, est_sy = _basis_solve(sx, sy, crab=0.07)
+    assert abs(est_sx - sx) < 0.002, (est_sx, sx)
+    assert abs(est_sy - sy) < abs(1.0 - sy), (est_sy, sy)  # beats nominal
+    assert (est_sy - 1.0) * (sy - 1.0) >= 0.0  # correct side of nominal
+
+
+def test_basis_solve_lateral_rich():
+    """With genuine lateral motion (20 deg crab) BOTH axes recover to
+    <0.25% — the y information is real when the physics provides it."""
+    est_sx, est_sy = _basis_solve(1.02, 0.99, crab=0.35)
+    assert abs(est_sx - 1.02) < 0.0025, est_sx
+    assert abs(est_sy - 0.99) < 0.0025, est_sy
+
+
+def test_basis_decomposition_is_exact():
+    """cx*basis_x + cy*basis_y reproduces the DR of per-axis-corrected
+    velocities (the linearity the solver relies on)."""
+    from sonar_slam_tpu.estimators import (
+        DRConfig, dead_reckoning_scan, dvl_basis_scan,
+    )
+
+    ticks, _ = _simulate_ticks(1.03, 0.97)
+    cfg = DRConfig(roll_offset=0.0)
+    basis = dvl_basis_scan(ticks, cfg)
+    cx, cy = 1.0 / 1.03, 1.0 / 0.97
+    corrected = ticks._replace(
+        vel=ticks.vel * jnp.asarray([cx, cy, 1.0], jnp.float32))
+    _, poses = dead_reckoning_scan(corrected, cfg)
+    recon = cx * basis[:, 0] + cy * basis[:, 1]
+    np.testing.assert_allclose(
+        np.asarray(poses[:, :2]), np.asarray(recon), atol=1e-4)
