@@ -227,6 +227,10 @@ def main() -> None:
                         # single-arc config measured worse with it — stays
                         # full-config-only like the other drift features)
                         refine_scale_from_chain=True,
+                        # joint 2x2 basis-integral scale solve (r4: better
+                        # on 4/5 seeds than the ratio median, honest
+                        # bounded y — see docs/ACCURACY.md round 4)
+                        refine_scale_basis=True,
                         # top-64-by-covisibility sweep lane budget: exact
                         # (~40-60 eligible pairs/iter) at half the lanes
                         refine_sweep_budget=64)

@@ -79,7 +79,8 @@ def setups(full: bool):
                         nssm_reinit_after_select=True, aggregate_with_dr=True,
                         estimate_dvl_scale=True,
                         refine_iters=2, refine_sweep=True, refine_chain=True,
-                        refine_scale_from_chain=True, refine_sweep_budget=64)
+                        refine_scale_from_chain=True, refine_sweep_budget=64,
+                        refine_scale_basis=True)
         kf_t = 3.0
     else:
         sim = SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0,
