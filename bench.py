@@ -347,11 +347,18 @@ def main() -> None:
         kf_mask = select_keyframes(
             ping_time_dev, pose3_to_pose2(ping_dr3), sync_dev, params
         )
+        # keyframe indices gathered ON DEVICE (fixed-capacity nonzero):
+        # keeps the whole pipeline one async dispatch chain — the old
+        # host round-trip for the indices cost a full >100 ms tunnel sync
+        K = dims.max_keyframes
+        sel = jnp.nonzero(kf_mask, size=K, fill_value=0)[0]
+        valid = jnp.arange(K) < jnp.minimum(
+            jnp.sum(kf_mask.astype(jnp.int32)), K)
         # DVL basis integrals for the refinement stage's joint scale solve
         # (two extra DR scans; ~free next to the SLAM scan)
         ping_basis = (dvl_basis_scan(bundle.ticks, dr_config)[tick_idx]
                       if use_basis else jnp.zeros((1, 2, 2), jnp.float32))
-        return kf_mask, ping_dr3, ping_basis
+        return kf_mask, sel, valid, ping_dr3, ping_basis
 
     # features (host-composed small jit units) and the SLAM scan stay
     # SEPARATE programs: one fused jit takes the remote compile service past
@@ -404,20 +411,11 @@ def main() -> None:
         stage_ms[name] = stage_ms.get(name, 0.0) + (time.time() - t) * 1e3
         return out
 
-    def host_select(kf_mask):
-        kf_idx = np.nonzero(np.asarray(kf_mask))[0]
-        K = dims.max_keyframes
-        kf_idx = kf_idx[:K]
-        valid = np.zeros(K, bool)
-        valid[: len(kf_idx)] = True
-        sel = np.concatenate([kf_idx, np.zeros(K - len(kf_idx), np.int64)])
-        return kf_idx, jnp.asarray(sel), jnp.asarray(valid)
-
     def device_pipeline(diagnostic=False):
         if diagnostic:
             stage_ms.clear()
-            kf_mask, ping_dr3, ping_basis = timed("dr_gate", stage1)
-            kf_idx, sel_d, valid_d = host_select(kf_mask)
+            kf_mask, sel_d, valid_d, ping_dr3, ping_basis = timed(
+                "dr_gate", stage1)
             pts, masks = timed("features", extractor.extract_batch,
                                ping_images[sel_d])
             carry, outputs = timed("slam_scan", stage2b, sel_d, valid_d,
@@ -429,9 +427,10 @@ def main() -> None:
             occ = timed("mapping", stage3_mapping, carry.poses, carry.points,
                         carry.pmasks, valid_d)
         else:
-            kf_mask, ping_dr3, ping_basis = stage1()
-            jax.block_until_ready(kf_mask)  # host needs the indices
-            kf_idx, sel_d, valid_d = host_select(kf_mask)
+            # zero host syncs until the end: every stage consumes the
+            # previous stage's device arrays, so dispatch overlaps the
+            # tunnel latency and the wall clock blocks exactly once
+            kf_mask, sel_d, valid_d, ping_dr3, ping_basis = stage1()
             pts, masks = extractor.extract_batch(ping_images[sel_d])
             carry, outputs = stage2b(sel_d, valid_d, ping_dr3, pts, masks)
             if do_refine:
@@ -440,14 +439,14 @@ def main() -> None:
             occ = stage3_mapping(carry.poses, carry.points, carry.pmasks,
                                  valid_d)
             jax.block_until_ready((carry.poses, occ))
-        return carry, kf_idx, occ
+        return carry, kf_mask, occ
 
     # the remote compile service in this environment sporadically drops
     # long-running compile requests — retry the first (compiling) run
     t0 = time.time()
     for attempt in range(3):
         try:
-            carry, kf_idx, occ = device_pipeline()
+            carry, kf_mask, occ = device_pipeline()
             break
         except Exception as e:  # jax.errors.JaxRuntimeError on transport loss
             log(f"compile attempt {attempt + 1} failed: {e}")
@@ -460,7 +459,7 @@ def main() -> None:
     times = []
     for _ in range(args.repeats):
         t0 = time.time()
-        carry, kf_idx, occ = device_pipeline()
+        carry, kf_mask, occ = device_pipeline()
         times.append(time.time() - t0)
     wall = float(np.median(times))
     # per-stage blocking breakdown — always run one diagnostic repeat so the
@@ -470,6 +469,7 @@ def main() -> None:
     occupied = int(np.sum(np.asarray(occ) > 55))
 
     nk = int(carry.num_kf)
+    kf_idx = np.nonzero(np.asarray(kf_mask))[0][: dims.max_keyframes]
     truth = bag.true_pose_at_ping[kf_idx][:nk]
     ate = ate_rmse(np.asarray(carry.poses[:nk]), truth)
     hdg = ate_heading_deg(np.asarray(carry.poses[:nk]), truth)
@@ -554,20 +554,20 @@ def main() -> None:
                 return slam_scan(frames, pparams, pdims)
 
             def parity_pipeline():
-                kf_mask, ping_dr3, _ = stage1()
-                jax.block_until_ready(kf_mask)
-                kf_idx_p, sel_d, valid_d = host_select(kf_mask)
+                kf_mask, sel_d, valid_d, ping_dr3, _ = stage1()
                 pts, masks = extractor.extract_batch(ping_images[sel_d])
                 pcarry, _ = parity_scan(sel_d, valid_d, ping_dr3, pts, masks)
                 jax.block_until_ready(pcarry.poses)
-                return pcarry, kf_idx_p
+                return pcarry, kf_mask
 
             t0 = time.time()
-            pcarry, kf_idx_p = parity_pipeline()
+            pcarry, pkf_mask = parity_pipeline()
             parity_compile = time.time() - t0
             t0 = time.time()
-            pcarry, kf_idx_p = parity_pipeline()
+            pcarry, pkf_mask = parity_pipeline()
             pwall = time.time() - t0
+            kf_idx_p = np.nonzero(np.asarray(pkf_mask))[0][
+                : dims.max_keyframes]
             pnk = int(pcarry.num_kf)
             ptruth = bag.true_pose_at_ping[kf_idx_p][:pnk]
             extras["parity"] = {

@@ -117,8 +117,13 @@ def _weighted_p2l(src, dst, normals, w):
         axis=-1,
     )  # (N, 3)
     aw = a * wn[:, None]
-    A = aw.T @ a
-    rhs = -(aw.T @ r)
+    # HIGHEST: this (3,N)@(N,3) normal-equation product is the registration
+    # solver itself — the default bf16 MXU pass rounds normals/residuals to
+    # ~3 digits and biases every SSM/NSSM/chain measurement (measured 5x ATE
+    # blowup on-chip, round 4)
+    hp = jax.lax.Precision.HIGHEST
+    A = jnp.matmul(aw.T, a, precision=hp)
+    rhs = -jnp.matmul(aw.T, r, precision=hp)
     ridge = 1e-5 * jnp.trace(A) + 1e-9
     x = jnp.linalg.solve(A + ridge * jnp.eye(3, dtype=src.dtype), rhs)
     # keep the rotation inside the linearization's validity
@@ -161,7 +166,9 @@ def censi_covariance(info: jax.Array, mse: jax.Array, pose: jax.Array,
         [[1.0, 0.0, -pose[1]], [0.0, 1.0, pose[0]], [0.0, 0.0, 1.0]],
         info.dtype,
     )
-    return G @ cov_delta @ G.T
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(G, cov_delta, precision=hp), G.T,
+                      precision=hp)
 
 
 def _trim_threshold(d2, valid, ratio):

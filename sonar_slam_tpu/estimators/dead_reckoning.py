@@ -89,7 +89,8 @@ def prepare_imu_euler(imu_rpy: jax.Array, mount_rpy: jax.Array) -> jax.Array:
     """
     R = rot3_ypr(imu_rpy[..., 2], imu_rpy[..., 1], imu_rpy[..., 0])
     Rm = rot3_ypr(mount_rpy[2], mount_rpy[1], mount_rpy[0])
-    return rot3_to_ypr(R @ rot3_inverse(Rm))
+    return rot3_to_ypr(jnp.matmul(R, rot3_inverse(Rm),
+                                  precision=jax.lax.Precision.HIGHEST))
 
 
 def dead_reckoning_step(state: DRState, tick, config: DRConfig):

@@ -43,7 +43,8 @@ def gyro_integrate(deltas: jax.Array, config: GyroConfig):
     earth-rate correction adds to the roll channel each sample
     (`gyro.py:56-68`).
     """
-    arr = deltas @ config.offset_matrix
+    arr = jnp.matmul(deltas, config.offset_matrix,
+                     precision=jax.lax.Precision.HIGHEST)
     d_yaw, d_pitch, d_roll = arr[:, 0], arr[:, 1], arr[:, 2]
     d_roll = d_roll + config.earth_rate / config.sensor_rate
     yaw = config.yaw0 + jnp.cumsum(d_yaw)

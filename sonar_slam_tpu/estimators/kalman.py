@@ -63,14 +63,20 @@ def kalman_init() -> KalmanState:
     )
 
 
+def _mm(a, b):
+    # HIGHEST: 12-state covariance products under the TPU's default bf16
+    # MXU pass lose ~3 digits per tick and drift P off symmetric-PSD
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _predict(x, P, A, Q):
-    return A @ x, A @ P @ A.T + Q
+    return _mm(A, x), _mm(_mm(A, P), A.T) + Q
 
 
 def _correct(x, P, z, H, R):
-    S = H @ P @ H.T + R
-    K = P @ H.T @ jnp.linalg.inv(S)
-    return x + K @ (z - H @ x), P - K @ H @ P
+    S = _mm(_mm(H, P), H.T) + R
+    K = _mm(_mm(P, H.T), jnp.linalg.inv(S))
+    return x + _mm(K, z - _mm(H, x)), P - _mm(_mm(K, H), P)
 
 
 def kalman_scan(events_type, events_z, config: KalmanConfig):

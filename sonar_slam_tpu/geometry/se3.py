@@ -19,6 +19,15 @@ import jax.numpy as jnp
 
 from .se2 import wrap_angle
 
+# all rotation-matrix products pin HIGHEST: the TPU default bf16 MXU pass
+# rounds matrix entries to ~3 decimal digits, i.e. ~1e-3 rad per compose —
+# catastrophic for the per-tick dead-reckoning heading chain (CLAUDE.md rule)
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HP)
+
 
 def _rx(a):
     c, s = jnp.cos(a), jnp.sin(a)
@@ -61,7 +70,7 @@ def _rz(a):
 
 def rot3_ypr(yaw: jax.Array, pitch: jax.Array, roll: jax.Array) -> jax.Array:
     """gtsam.Rot3.Ypr: Rz(yaw) @ Ry(pitch) @ Rx(roll) -> [..., 3, 3]."""
-    return _rz(yaw) @ _ry(pitch) @ _rx(roll)
+    return _mm(_mm(_rz(yaw), _ry(pitch)), _rx(roll))
 
 
 def rot3_to_ypr(R: jax.Array) -> jax.Array:
@@ -73,7 +82,7 @@ def rot3_to_ypr(R: jax.Array) -> jax.Array:
 
 
 def rot3_compose(Ra: jax.Array, Rb: jax.Array) -> jax.Array:
-    return Ra @ Rb
+    return _mm(Ra, Rb)
 
 
 def rot3_inverse(R: jax.Array) -> jax.Array:
@@ -99,8 +108,8 @@ def pose3_compose(a: jax.Array, b: jax.Array) -> jax.Array:
     ta, _ = _split(a)
     tb, _ = _split(b)
     Ra, Rb = pose3_rotmat(a), pose3_rotmat(b)
-    t = ta + jnp.einsum("...ij,...j->...i", Ra, tb)
-    rpy = rot3_to_ypr(Ra @ Rb)
+    t = ta + jnp.einsum("...ij,...j->...i", Ra, tb, precision=_HP)
+    rpy = rot3_to_ypr(_mm(Ra, Rb))
     return pose3_make(t, rpy)
 
 
@@ -108,7 +117,7 @@ def pose3_inverse(a: jax.Array) -> jax.Array:
     ta, _ = _split(a)
     Ra = pose3_rotmat(a)
     RaT = rot3_inverse(Ra)
-    t = -jnp.einsum("...ij,...j->...i", RaT, ta)
+    t = -jnp.einsum("...ij,...j->...i", RaT, ta, precision=_HP)
     return pose3_make(t, rot3_to_ypr(RaT))
 
 

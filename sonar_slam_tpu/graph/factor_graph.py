@@ -193,7 +193,7 @@ def set_pose_estimate(state: GraphState, k, pose) -> GraphState:
 def _between_residual(xi, xj, z, sqrt_info):
     """Whitened gtsam BetweenFactorPose2 residual."""
     err = se2_logmap(se2_compose(se2_inverse(z), se2_between(xi, xj)))
-    return sqrt_info @ err
+    return jnp.matmul(sqrt_info, err, precision=jax.lax.Precision.HIGHEST)
 
 
 def _factor_linearization(xi, xj, z, sqrt_info, robust):
@@ -305,14 +305,15 @@ def _assemble_normal_equations(state: GraphState, config: GraphConfig):
 
     # prior factor on X(0)
     def fprior(d):
-        return state.prior_sqrt_info @ se2_logmap(
-            se2_compose(se2_inverse(state.prior_pose), se2_retract(state.poses[0], d))
-        )
+        return jnp.matmul(state.prior_sqrt_info, se2_logmap(
+            se2_compose(se2_inverse(state.prior_pose),
+                        se2_retract(state.poses[0], d))
+        ), precision=hp)
 
     r0 = fprior(jnp.zeros(3))
     J0 = jax.jacfwd(fprior)(jnp.zeros(3))
-    H = H.at[:3, :3].add(J0.T @ J0)
-    b = b.at[:3].add(J0.T @ r0)
+    H = H.at[:3, :3].add(jnp.matmul(J0.T, J0, precision=hp))
+    b = b.at[:3].add(jnp.matmul(J0.T, r0, precision=hp))
 
     # gauge/padding regularization: identity on invalid pose blocks
     valid = jnp.repeat(jnp.arange(K) < state.num_poses, 3)

@@ -46,7 +46,9 @@ def pairwise_consistency_matrix(
         pjk1 = transforms[b]
         pjk2 = se2_between(pj, se2_compose(se2_compose(pi, pil), plk))
         err = se2_logmap(se2_between(pjk1, pjk2))
-        md = err @ jnp.linalg.inv(covs[b]) @ err
+        hp = jax.lax.Precision.HIGHEST
+        md = jnp.matmul(err, jnp.matmul(jnp.linalg.inv(covs[b]), err,
+                                        precision=hp), precision=hp)
         return md < chi2_gate
 
     Q = source_poses.shape[0]

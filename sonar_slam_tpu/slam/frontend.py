@@ -136,7 +136,8 @@ class StaticVoxelBinner:
                 [flat_xy.astype(jnp.float32), jnp.zeros((1, 2), jnp.float32)]
             )
             group_xy = xyp[self.group_idx]
-        sums = jnp.einsum("vg,vgc->vc", w, group_xy)
+        sums = jnp.einsum("vg,vgc->vc", w, group_xy,
+                          precision=jax.lax.Precision.HIGHEST)
         score, vi = jax.lax.top_k(counts, max_out)
         out_mask = score > 0
         centroids = sums[vi] / jnp.maximum(wsum[vi], 1e-6)[:, None]

@@ -537,8 +537,13 @@ def solve_scale_from_basis(
     A = jnp.stack([to_body(d[:, 0]), to_body(d[:, 1])], axis=-1)  # (K,2,2)
     z = chain_z[:, :2]
     w = (chain_ok.astype(jnp.float32) / (meas_sigma**2))[:, None, None]
-    M = jnp.sum(w * (jnp.swapaxes(A, 1, 2) @ A), axis=0)
-    v = jnp.sum((w * jnp.swapaxes(A, 1, 2)) @ z[:, :, None], axis=0)[:, 0]
+    # HIGHEST: meter-scale basis deltas rounded to bf16 shift the recovered
+    # scale by ~0.5% — larger than the signal being estimated (round-4
+    # on-chip y-scale divergence)
+    hp = jax.lax.Precision.HIGHEST
+    M = jnp.sum(w * jnp.matmul(jnp.swapaxes(A, 1, 2), A, precision=hp), axis=0)
+    v = jnp.sum(jnp.matmul(w * jnp.swapaxes(A, 1, 2), z[:, :, None],
+                           precision=hp), axis=0)[:, 0]
     pw = 1.0 / jnp.asarray(prior_sigma, jnp.float32) ** 2
     M = M + jnp.diag(pw)
     v = v + pw  # prior center: correction 1 (nominal)

@@ -243,13 +243,15 @@ def estimate_pose_covariance(
         wsum = jnp.maximum(jnp.sum(w), 1.0)
         mu = jnp.sum(samples * w[:, None], axis=0) / wsum
         d = (samples - mu) * w[:, None]
-        cov = d.T @ (samples - mu) / wsum
+        cov = jnp.matmul(d.T, samples - mu,
+                         precision=jax.lax.Precision.HIGHEST) / wsum
         return mu, cov
 
     def c_step(w, _):
         mu, cov = mean_cov(w)
         inv = jnp.linalg.inv(cov + ridge)
-        md = jnp.einsum("gi,ij,gj->g", samples - mu, inv, samples - mu)
+        md = jnp.einsum("gi,ij,gj->g", samples - mu, inv, samples - mu,
+                        precision=jax.lax.Precision.HIGHEST)
         md = jnp.where(sample_mask, md, 1e30)
         thresh = jnp.sort(md)[jnp.clip(h - 1, 0, G - 1)]
         return (md <= thresh).astype(jnp.float32) * sample_mask, None
@@ -284,8 +286,9 @@ def localize_covariance(cov: jax.Array, mean_pose: jax.Array) -> jax.Array:
     (`slam.py:377-380`)."""
     R = se2_rotmat(mean_pose[2])
     out = cov
-    out = out.at[:2, :].set(R.T @ out[:2, :])
-    out = out.at[:, :2].set(out[:, :2] @ R)
+    hp = jax.lax.Precision.HIGHEST
+    out = out.at[:2, :].set(jnp.matmul(R.T, out[:2, :], precision=hp))
+    out = out.at[:, :2].set(jnp.matmul(out[:, :2], R, precision=hp))
     return out
 
 
