@@ -157,7 +157,7 @@ def main() -> None:
 
     from sonar_slam_tpu.cloud import ICPConfig
     from sonar_slam_tpu.estimators import (
-        DRConfig, dead_reckoning_scan, dvl_basis_scan,
+        DRConfig, dead_reckoning_scan, dead_reckoning_with_basis_scan,
     )
     from sonar_slam_tpu.geometry import pose3_to_pose2
     from sonar_slam_tpu.io.dataset import (
@@ -233,7 +233,13 @@ def main() -> None:
                         refine_scale_basis=True,
                         # top-64-by-covisibility sweep lane budget: exact
                         # (~40-60 eligible pairs/iter) at half the lanes
-                        refine_sweep_budget=64)
+                        refine_sweep_budget=64,
+                        # iteration>=1 re-registers only lanes whose endpoint
+                        # RELATIVE pose moved since their last registration
+                        # (r4 on-chip probe, seed 0: refine 269 -> 223 ms at
+                        # ATE 6.35 -> 5.79 cm — fresh sweep measurements are
+                        # not pointlessly re-registered)
+                        refine_incremental=True)
         # (reinit / DR-relative aggregation / online DVL-scale calibration
         #  are multi-circuit-drift features; measured counterproductive on
         #  the short single-arc small config)
@@ -342,7 +348,14 @@ def main() -> None:
 
     @jax.jit
     def stage1():
-        _, dr3 = dead_reckoning_scan(bundle.ticks, dr_config)
+        if use_basis:
+            # one fused scan: full-DR lane + both basis-integral lanes
+            # vmapped into the carry (the scan is latency-bound — three
+            # separate passes cost 3x the wall time for identical results)
+            dr3, basis = dead_reckoning_with_basis_scan(
+                bundle.ticks, dr_config)
+        else:
+            _, dr3 = dead_reckoning_scan(bundle.ticks, dr_config)
         ping_dr3 = dr3[tick_idx]
         kf_mask = select_keyframes(
             ping_time_dev, pose3_to_pose2(ping_dr3), sync_dev, params
@@ -355,9 +368,8 @@ def main() -> None:
         valid = jnp.arange(K) < jnp.minimum(
             jnp.sum(kf_mask.astype(jnp.int32)), K)
         # DVL basis integrals for the refinement stage's joint scale solve
-        # (two extra DR scans; ~free next to the SLAM scan)
-        ping_basis = (dvl_basis_scan(bundle.ticks, dr_config)[tick_idx]
-                      if use_basis else jnp.zeros((1, 2, 2), jnp.float32))
+        ping_basis = (basis[tick_idx] if use_basis
+                      else jnp.zeros((1, 2, 2), jnp.float32))
         return kf_mask, sel, valid, ping_dr3, ping_basis
 
     # features (host-composed small jit units) and the SLAM scan stay

@@ -14,6 +14,7 @@ from .dead_reckoning import (
     dead_reckoning_init,
     dead_reckoning_step,
     dead_reckoning_scan,
+    dead_reckoning_with_basis_scan,
     dvl_basis_scan,
     prepare_imu_euler,
 )

@@ -177,3 +177,32 @@ def dvl_basis_scan(ticks: DRTicks, config: DRConfig) -> jax.Array:
     _, px = dead_reckoning_scan(ticks._replace(vel=ticks.vel * ex), config)
     _, py = dead_reckoning_scan(ticks._replace(vel=ticks.vel * ey), config)
     return jnp.stack([px[:, :2], py[:, :2]], axis=1)
+
+
+def dead_reckoning_with_basis_scan(ticks: DRTicks, config: DRConfig):
+    """Fused full-DR + basis-integral pass: ``(poses (T, 6), basis (T, 2, 2))``.
+
+    Semantically identical to ``dead_reckoning_scan`` + ``dvl_basis_scan``
+    (three sequential passes) but runs as ONE ``lax.scan`` with the three
+    velocity-mask lanes vmapped into the carry. The DR scan is
+    latency-bound on TPU (tiny per-step ops over tens of thousands of
+    sequential ticks, ~40 ms per pass through this environment's remote
+    device), so batching the lanes pays one pass's latency instead of
+    three — the per-step work is elementwise and merely widens.
+    ``vmap`` preserves per-lane gate/trapezoid/yaw semantics exactly
+    (every op in ``dead_reckoning_step`` is elementwise).
+    """
+    masks = jnp.asarray(
+        [[1.0, 1.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32
+    )
+
+    def one(mask):
+        _, p = dead_reckoning_scan(
+            ticks._replace(vel=ticks.vel * mask), config
+        )
+        return p
+
+    poses = jax.vmap(one)(masks)  # (3, T, 6)
+    return poses[0], jnp.stack(
+        [poses[1, :, :2], poses[2, :, :2]], axis=1
+    )

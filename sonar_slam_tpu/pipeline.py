@@ -29,7 +29,7 @@ from .estimators import (
     GyroConfig,
     KalmanConfig,
     dead_reckoning_scan,
-    dvl_basis_scan,
+    dead_reckoning_with_basis_scan,
     gyro_integrate,
     kalman_scan,
 )
@@ -155,10 +155,14 @@ def replay(
             gyro_yaw=gyro_yaw,
         )
         bundle = build_dr_ticks(streams)
-        _, dr_poses3 = dead_reckoning_scan(bundle.ticks, dr_config)
         tick_time = bundle.tick_time
         if dims.refine_scale_basis and dims.estimate_dvl_scale:
-            tick_basis = dvl_basis_scan(bundle.ticks, dr_config)
+            # one fused scan: full-DR lane + the two basis-integral lanes
+            dr_poses3, tick_basis = dead_reckoning_with_basis_scan(
+                bundle.ticks, dr_config
+            )
+        else:
+            _, dr_poses3 = dead_reckoning_scan(bundle.ticks, dr_config)
 
     # 2) pair pings with odometry (approximate-time sync, slop 0.5 s)
     tick_idx, sync_ok = match_pings_to_ticks(bag.ping_time, tick_time)

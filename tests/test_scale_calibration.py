@@ -417,3 +417,28 @@ def test_basis_decomposition_is_exact():
     recon = cx * basis[:, 0] + cy * basis[:, 1]
     np.testing.assert_allclose(
         np.asarray(poses[:, :2]), np.asarray(recon), atol=1e-4)
+
+
+def test_fused_basis_scan_bit_identical():
+    """dead_reckoning_with_basis_scan (one vmapped scan) must reproduce the
+    three separate passes bit-for-bit: every op in dead_reckoning_step is
+    elementwise, so batching the velocity-mask lanes cannot change per-lane
+    rounding. Guards the bench/pipeline fast path."""
+    from sonar_slam_tpu.estimators import (
+        DRConfig, dead_reckoning_scan, dead_reckoning_with_basis_scan,
+        dvl_basis_scan,
+    )
+
+    ticks, _ = _simulate_ticks(1.02, 0.99, crab=0.07)
+    # exercise the over-speed gate + invalid ticks in the fused path too
+    vel = np.asarray(ticks.vel).copy()
+    vel[40:44] *= 8.0
+    valid = np.asarray(ticks.valid).copy()
+    valid[100:103] = False
+    ticks = ticks._replace(vel=jnp.asarray(vel), valid=jnp.asarray(valid))
+    cfg = DRConfig(roll_offset=0.0)
+    _, p_ref = dead_reckoning_scan(ticks, cfg)
+    b_ref = dvl_basis_scan(ticks, cfg)
+    p_f, b_f = dead_reckoning_with_basis_scan(ticks, cfg)
+    assert bool((p_f == p_ref).all())
+    assert bool((b_f == b_ref).all())
