@@ -80,7 +80,7 @@ def setups(full: bool):
                         estimate_dvl_scale=True,
                         refine_iters=2, refine_sweep=True, refine_chain=True,
                         refine_scale_from_chain=True, refine_sweep_budget=64,
-                        refine_scale_basis=True)
+                        refine_scale_basis=True, refine_incremental=True)
         kf_t = 3.0
     else:
         sim = SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0,
@@ -95,6 +95,18 @@ def setups(full: bool):
                         refine_iters=2, refine_sweep=True, refine_chain=True)
         kf_t = 2.0
     return sim, dims, kf_t
+
+
+def bench_rparams(full: bool = False):
+    """Refinement params matching bench.py: the full config tightens the
+    consensus-prune gates with its finer sonar bins."""
+    from sonar_slam_tpu.slam import RefineParams
+
+    rp = RefineParams.default()
+    if full:
+        rp = rp._replace(prune_max_dt=jnp.float32(0.18),
+                         prune_max_dr=jnp.float32(0.06))
+    return rp
 
 
 def bench_params(dims, kf_t, full: bool = False):

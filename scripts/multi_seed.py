@@ -46,7 +46,9 @@ from sonar_slam_tpu.slam import FeatureConfig
 from sonar_slam_tpu.geometry import se2_between
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from error_budget import bench_params, setups  # noqa: E402 (shared configs)
+from error_budget import (  # noqa: E402 (shared configs)
+    bench_params, bench_rparams, setups,
+)
 
 
 def main():
@@ -68,7 +70,8 @@ def main():
         bag = simulate_bag(sim)
         sim_s = time.time() - t0
         t0 = time.time()
-        res = replay(bag, fc, params, dims)
+        res = replay(bag, fc, params, dims,
+                     refine_params=bench_rparams(args.full))
         wall = time.time() - t0
         nk = res.num_keyframes
         truth = bag.true_pose_at_ping[res.keyframe_ping_idx][:nk]

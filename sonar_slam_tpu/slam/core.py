@@ -1005,15 +1005,68 @@ def keyframe_step(
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def slam_scan(frames: KeyframeInput, params: SlamParams, dims: SlamDims):
-    """Run the whole SLAM over stacked keyframe inputs (leading axis K').
-
-    The flagship fused program: one ``lax.scan`` whose step contains the
-    complete reference SLAM callback (SSM + ISAM2-equivalent update + NSSM +
-    PCM + conditional re-update).
-    """
+def slam_scan_padded(frames: KeyframeInput, params: SlamParams,
+                     dims: SlamDims):
+    """Reference implementation: one ``lax.scan`` over ALL ``K`` keyframe
+    slots, invalid slots running the step as a masked no-op. Kept as the
+    semantic baseline ``slam_scan`` is equality-pinned against."""
 
     def body(carry, frame):
         return keyframe_step(carry, KeyframeInput(*frame), params, dims)
 
     return jax.lax.scan(body, slam_init(dims), tuple(frames))
+
+
+def slam_scan(frames: KeyframeInput, params: SlamParams, dims: SlamDims):
+    """Run the whole SLAM over stacked keyframe inputs (leading axis K').
+
+    The flagship fused program: the complete reference SLAM callback (SSM +
+    ISAM2-equivalent update + NSSM + PCM + conditional re-update) iterated
+    over the keyframe axis.
+
+    Iteration is a ``lax.while_loop`` bounded by the LAST valid slot, not a
+    scan over the full padded capacity: every carry mutation in
+    ``keyframe_step`` is already gated on ``frame.valid``, so slots past the
+    last valid frame are pure wasted compute — at the production config
+    (~73 real keyframes in 128 slots) the scan burned ~43% of the dominant
+    pipeline stage on no-ops. Bit-equality with the padded scan (carry +
+    valid-slot outputs) is pinned in tests/test_pipeline.py; invalid-slot
+    OUTPUT rows are zeros here (the padded scan emits garbage computed from
+    padding there — no caller reads them).
+    """
+    K = frames.valid.shape[0]
+    any_valid = jnp.any(frames.valid)
+    # trip count = last valid index + 1 (correct even for non-prefix masks;
+    # interior invalid slots still no-op through the frame.valid gates)
+    n_stop = jnp.where(
+        any_valid, K - jnp.argmax(frames.valid[::-1]), 0
+    ).astype(jnp.int32)
+    carry0 = slam_init(dims)
+    out_sd = jax.eval_shape(
+        lambda c, f: keyframe_step(c, f, params, dims)[1],
+        carry0, jax.tree_util.tree_map(lambda a: a[0], frames),
+    )
+    outs0 = jax.tree_util.tree_map(
+        lambda s: jnp.zeros((K,) + s.shape, s.dtype), out_sd
+    )
+
+    def cond(st):
+        return st[0] < n_stop
+
+    def body(st):
+        i, carry, outs = st
+        frame = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, i, keepdims=False),
+            frames,
+        )
+        carry, o = keyframe_step(carry, frame, params, dims)
+        outs = jax.tree_util.tree_map(
+            lambda b, v: jax.lax.dynamic_update_index_in_dim(b, v, i, 0),
+            outs, o,
+        )
+        return (i + 1, carry, outs)
+
+    _, carry, outs = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), carry0, outs0)
+    )
+    return carry, outs

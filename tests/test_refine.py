@@ -390,3 +390,48 @@ def test_sweep_budget_exact_when_unsaturated():
                      np.asarray(c.loops_tf)[:n]]
         return rows[np.lexsort(rows.T[::-1])]
     np.testing.assert_allclose(key(full), key(budgeted), rtol=0, atol=0)
+
+
+def test_while_scan_matches_padded_scan():
+    """slam_scan (while_loop bounded at the last valid slot) must be
+    bit-identical to slam_scan_padded (full-capacity lax.scan) on the carry
+    and on every valid slot's outputs — including with an INTERIOR invalid
+    slot, which the while_loop still visits and the frame.valid gates
+    no-op. Guards the production fast path (the padded scan burned ~43% of
+    the dominant bench stage on no-op tail slots)."""
+    from sonar_slam_tpu.slam import KeyframeInput
+    from sonar_slam_tpu.slam.core import slam_scan, slam_scan_padded
+
+    dims = _dims(refine_iters=0)
+    rng = np.random.default_rng(3)
+    truth = np.zeros((K, 3), np.float32)
+    truth[:, 0] = np.arange(K) * 1.2
+    pts = np.zeros((K, N, 2), np.float32)
+    msk = np.zeros((K, N), bool)
+    for k in range(K):
+        pts[k], msk[k] = _frame_cloud(rng, truth[k], offset=0.04 * k)
+    pose3 = np.zeros((K, 6), np.float32)
+    pose3[:, 0] = truth[:, 0]
+    valid = np.ones(K, bool)
+    valid[5] = False  # interior hole (skipped-feature NaN frame analog)
+    valid[K - 3:] = False  # padded tail
+    frames = KeyframeInput(
+        time=jnp.arange(K, dtype=jnp.float32) * 2.0,
+        dr_pose3=jnp.asarray(pose3),
+        points=jnp.asarray(pts),
+        pmask=jnp.asarray(msk) & jnp.asarray(valid)[:, None],
+        valid=jnp.asarray(valid),
+    )
+    params = _params(dims)._replace(keyframe_duration=jnp.float32(0.5))
+    c_ref, o_ref = slam_scan_padded(frames, params, dims)
+    c_new, o_new = slam_scan(frames, params, dims)
+    for name, a, b in zip(c_ref._fields, c_ref, c_new):
+        if hasattr(a, "_fields"):  # nested GraphState
+            for gn, ga, gb in zip(a._fields, a, b):
+                assert bool((jnp.asarray(ga) == jnp.asarray(gb)).all()), gn
+        else:
+            assert bool((jnp.asarray(a) == jnp.asarray(b)).all()), name
+    for name, a, b in zip(o_ref._fields, o_ref, o_new):
+        assert bool(
+            (jnp.asarray(a)[valid] == jnp.asarray(b)[valid]).all()
+        ), name
