@@ -85,8 +85,14 @@ def main():
             for a, b, z in zip(li, lj, ltf)
         ]
         est_corr = np.exp(np.asarray(res.carry.graph.log_scale))
+        from bench import loop_metrics  # repo root on sys.path
+
+        lm = loop_metrics(res.carry, truth, dims.nssm_min_st_sep,
+                          prox_radius=0.5 * dims.max_range)
         rec = {
             "seed": seed,
+            "precision": lm["precision"],
+            "recall": lm["recall"],
             "ate_cm": round(ate_rmse(res.trajectory, truth) * 100, 2),
             "dr_ate_cm": round(
                 ate_rmse(res.dr_trajectory, truth) * 100, 2),
@@ -112,9 +118,14 @@ def main():
         abs(r["est_dvl_scale_xy"][0] - r["true_dvl_scale_xy"][0])
         for r in per_seed
     ])
+    recalls = np.array([r["recall"] for r in per_seed])
+    precs = np.array([r["precision"] or 0.0 for r in per_seed])
     summary = {
         "config": "full" if args.full else "small",
         "seeds": args.seeds,
+        "loop_precision_min": round(float(precs.min()), 3),
+        "loop_recall": {"mean": round(float(recalls.mean()), 3),
+                        "min": round(float(recalls.min()), 3)},
         "ate_cm": {"mean": round(float(ates.mean()), 2),
                    "median": round(float(np.median(ates)), 2),
                    "max": round(float(ates.max()), 2)},

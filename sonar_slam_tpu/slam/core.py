@@ -211,6 +211,11 @@ class SlamDims:
     # only real saving). Iteration 2 mostly re-does iteration 1's work
     # otherwise (measured: refine 360 ms of the 1.6 s full-config wall).
     refine_incremental: bool = False
+    # slam_scan chunk size: the while_loop over keyframes advances C frames
+    # per iteration, each chunk a lax.scan (TPU schedules scan bodies
+    # better than per-frame while iterations; larger chunks waste up to
+    # C-1 no-op slots past the last valid keyframe)
+    scan_chunk: int = 8
     # proximity-gated loop sweep: one single-frame registration per source
     # keyframe against its nearest eligible target under the refined poses,
     # inserting PCM-bypassing high-confidence loops the in-scan NSSM search
@@ -1041,6 +1046,13 @@ def slam_scan(frames: KeyframeInput, params: SlamParams, dims: SlamDims):
     n_stop = jnp.where(
         any_valid, K - jnp.argmax(frames.valid[::-1]), 0
     ).astype(jnp.int32)
+    # chunked hybrid: the while_loop advances in fixed C-frame chunks, each
+    # chunk running as a lax.scan (scan bodies schedule measurably better
+    # than per-frame while iterations on TPU). Up to C-1 no-op slots are
+    # processed past the last valid frame — bit-harmless (valid gates).
+    C = min(dims.scan_chunk, K)
+    while K % C:
+        C //= 2
     carry0 = slam_init(dims)
     out_sd = jax.eval_shape(
         lambda c, f: keyframe_step(c, f, params, dims)[1],
@@ -1050,21 +1062,23 @@ def slam_scan(frames: KeyframeInput, params: SlamParams, dims: SlamDims):
         lambda s: jnp.zeros((K,) + s.shape, s.dtype), out_sd
     )
 
+    def step(c, frame):
+        return keyframe_step(c, KeyframeInput(*frame), params, dims)
+
     def cond(st):
         return st[0] < n_stop
 
     def body(st):
         i, carry, outs = st
-        frame = jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, i, keepdims=False),
-            frames,
+        chunk = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, i, C, 0), frames
         )
-        carry, o = keyframe_step(carry, frame, params, dims)
+        carry, och = jax.lax.scan(step, carry, tuple(chunk))
         outs = jax.tree_util.tree_map(
-            lambda b, v: jax.lax.dynamic_update_index_in_dim(b, v, i, 0),
-            outs, o,
+            lambda b, v: jax.lax.dynamic_update_slice_in_dim(b, v, i, 0),
+            outs, och,
         )
-        return (i + 1, carry, outs)
+        return (i + C, carry, outs)
 
     _, carry, outs = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), carry0, outs0)
