@@ -134,6 +134,9 @@ def main() -> None:
     ap.add_argument("--scale-anchor", type=int, default=-1,
                     help="override refine_scale_from_chain (STATIC - "
                          "recompiles; -1 = config default)")
+    ap.add_argument("--scale-prior-y", type=float, default=0.0,
+                    help="override the traced y-axis basis-solve scale "
+                         "prior sigma (0 keeps the config default)")
     ap.add_argument("--chain-floor", type=float, default=0.0,
                     help="override the densified-chain covariance floor "
                          "sigma (m; traced, 0 = default)")
@@ -315,6 +318,10 @@ def main() -> None:
     if args.chain_floor > 0:
         rparams = rparams._replace(chain_floor_sigmas=jnp.asarray(
             [args.chain_floor, args.chain_floor, args.chain_floor / 5.0],
+            jnp.float32))
+    if args.scale_prior_y > 0:
+        rparams = rparams._replace(scale_prior_sigma=jnp.asarray(
+            [float(rparams.scale_prior_sigma[0]), args.scale_prior_y],
             jnp.float32))
     if args.refine_robust >= 0:
         rparams = rparams._replace(robust=jnp.asarray(bool(args.refine_robust)))

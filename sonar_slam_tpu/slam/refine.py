@@ -146,6 +146,13 @@ class RefineParams(NamedTuple):
     # displacement gate, so unstretched turn samples would otherwise
     # dominate the y anchor). <= 0 disables (traced).
     scale_max_rot: jax.Array  # (rad)
+    # per-axis Gaussian prior sigma on the basis scale solve
+    # (``solve_scale_from_basis``). Traced so the prior strength — the one
+    # knob governing how far the weakly-observed lateral axis may move from
+    # nominal — can be swept without recompiling (round-4: the measured y
+    # estimates landed on the WRONG side of nominal on 3/5 seeds at the old
+    # static 0.01 prior). Defaults mirror the former SlamDims values.
+    scale_prior_sigma: jax.Array  # (2,)
 
     @staticmethod
     def default() -> "RefineParams":
@@ -175,6 +182,7 @@ class RefineParams(NamedTuple):
             prune_max_dt=f(0.25),
             prune_max_dr=f(0.08),
             scale_max_rot=f(0.0),
+            scale_prior_sigma=jnp.asarray([0.05, 0.01], jnp.float32),
         )
 
 
@@ -574,7 +582,7 @@ def _anchor_scale_from_chain(
     if scale_basis is not None:
         anchor, enough = solve_scale_from_basis(
             chain_ok, chain_z, scale_basis, carry.dr_poses[:, 2],
-            (dims.dvl_scale_prior_sigma, dims.dvl_scale_prior_sigma_y),
+            rp.scale_prior_sigma,
         )
         anchor = jnp.where(enough, anchor, carry.graph.log_scale)
         g = carry.graph._replace(log_scale_anchor=anchor, log_scale=anchor)

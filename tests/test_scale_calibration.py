@@ -392,6 +392,36 @@ def test_basis_solve_crab_trajectory(sx, sy):
     assert (est_sy - 1.0) * (sy - 1.0) >= 0.0  # correct side of nominal
 
 
+def test_basis_solve_traced_prior_matches_tuple():
+    """RefineParams.scale_prior_sigma is a traced (2,) array; feeding the
+    solver the array must bit-match the former static tuple path (the
+    round-4 refactor that made the prior sweepable without recompiles)."""
+    from sonar_slam_tpu.estimators import DRConfig, dvl_basis_scan
+    from sonar_slam_tpu.geometry import se2_between
+    from sonar_slam_tpu.slam.refine import solve_scale_from_basis
+
+    ticks, truth = _simulate_ticks(1.015, 0.99, crab=0.07)
+    basis = dvl_basis_scan(ticks, DRConfig(roll_offset=0.0))
+    kf = np.arange(0, len(truth), 30)
+    tk = jnp.asarray(truth[kf], jnp.float32)
+    chain_z = jax.vmap(se2_between)(jnp.concatenate([tk[:1], tk[:-1]]), tk)
+    ok = jnp.arange(len(kf)) >= 1
+    a, _ = solve_scale_from_basis(ok, chain_z, basis[kf],
+                                  jnp.asarray(truth[kf, 2]),
+                                  prior_sigma=(0.05, 0.01))
+    b, _ = solve_scale_from_basis(ok, chain_z, basis[kf],
+                                  jnp.asarray(truth[kf, 2]),
+                                  prior_sigma=jnp.asarray(
+                                      [0.05, 0.01], jnp.float32))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a near-pin y prior keeps the weak axis at nominal
+    c, _ = solve_scale_from_basis(ok, chain_z, basis[kf],
+                                  jnp.asarray(truth[kf, 2]),
+                                  prior_sigma=jnp.asarray(
+                                      [0.05, 1e-4], jnp.float32))
+    assert abs(float(np.exp(np.asarray(c))[1]) - 1.0) < 1e-3
+
+
 def test_basis_solve_lateral_rich():
     """With genuine lateral motion (20 deg crab) BOTH axes recover to
     <0.25% — the y information is real when the physics provides it."""
