@@ -9,8 +9,14 @@ This measures whether a tighter y prior (or a full pin) improves the 5-seed
 ATE distribution. Traced sweep: each variant after the first reuses the
 cached program (CLAUDE.md: tpu-experiment-design).
 
-Usage: python scripts/yprior_sweep.py [--cpu] [--seeds 5]
+Usage: python scripts/yprior_sweep.py [--tpu] [--seeds 5]
        [--ypriors 0.01,0.005,0.003,0.001]
+
+Platform convention matches r4_probe.py / error_budget.py: CPU by default,
+``--tpu`` keeps the ambient tunneled-TPU platform. (The imported
+error_budget module flips the platform to CPU at import unless ``--tpu``
+is in argv, so this script MUST use the same flag — its original ``--cpu``
+opt-out silently ran the "TPU" sweep on the host CPU.)
 """
 
 from __future__ import annotations
@@ -25,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if "--cpu" in sys.argv:
+if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
@@ -48,7 +54,7 @@ from error_budget import (  # noqa: E402 (shared configs)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--ypriors", default="0.01,0.005,0.003,0.001")
     ap.add_argument("--out", default="")
