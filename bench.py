@@ -125,6 +125,9 @@ def main() -> None:
     ap.add_argument("--sweep-topk", type=int, default=0,
                     help="override refine_sweep_topk (STATIC - recompiles; "
                          "0 = config default)")
+    ap.add_argument("--final-sweep", type=int, default=-1,
+                    help="override refine_final_sweep (post-prune sweep "
+                         "pass; STATIC - recompiles; -1 = config default)")
     ap.add_argument("--refine-incremental", type=int, default=-1,
                     help="override refine_incremental (STATIC - recompiles; "
                          "-1 = config default)")
@@ -142,6 +145,13 @@ def main() -> None:
                          "sigma (m; traced, 0 = default)")
     ap.add_argument("--dump", default="",
                     help="write trajectory/truth/loops npz for analysis")
+    ap.add_argument("--conf-power", type=float, default=-1.0,
+                    help="override SlamParams.conf_power (per-point "
+                         "confidence weighting exponent; traced; -1 = "
+                         "config default)")
+    ap.add_argument("--conf-ref", type=float, default=0.0,
+                    help="override SlamParams.conf_ref (count at which a "
+                         "point reaches full weight; traced)")
     ap.add_argument("--icp-floor", type=float, default=0.0,
                     help="override icp_odom_sigmas xy (SSM factor weight + "
                          "in-scan loop floor; traced)")
@@ -223,6 +233,10 @@ def main() -> None:
                         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
                         pair_refine_min_inliers=25,
                         nssm_reinit_after_select=True, aggregate_with_dr=True,
+                        # exact through-turn scale correction of the DR
+                        # window relatives from the basis integrals
+                        # (VERDICT r4 weak #6)
+                        aggregate_with_dr_basis=True,
                         estimate_dvl_scale=True, dvl_scale_prior_sigma=0.05,
                         refine_iters=2, refine_sweep=True, refine_chain=True,
                         # direct chain-ratio scale anchor (r4 probe: seed-0
@@ -263,6 +277,10 @@ def main() -> None:
         from dataclasses import replace as _dcr2
 
         dims = _dcr2(dims, refine_incremental=bool(args.refine_incremental))
+    if args.final_sweep >= 0:
+        from dataclasses import replace as _dcr5
+
+        dims = _dcr5(dims, refine_final_sweep=bool(args.final_sweep))
     if args.scale_basis >= 0:
         from dataclasses import replace as _dcr4
 
@@ -305,6 +323,10 @@ def main() -> None:
         params = params._replace(icp_odom_sigmas=jnp.asarray(
             [args.icp_floor, args.icp_floor, args.icp_floor / 10.0],
             jnp.float32))
+    if args.conf_power >= 0:
+        params = params._replace(conf_power=jnp.float32(args.conf_power))
+    if args.conf_ref > 0:
+        params = params._replace(conf_ref=jnp.float32(args.conf_ref))
     rparams = RefineParams.default()
     if not args.small:
         # finer sonar bins -> tighter consensus-prune gate (r4 probe:
@@ -326,7 +348,13 @@ def main() -> None:
     if args.refine_robust >= 0:
         rparams = rparams._replace(robust=jnp.asarray(bool(args.refine_robust)))
     do_refine = dims.refine_iters > 0 and not args.no_refine
-    feature_config = FeatureConfig(max_points=dims.max_points)
+    # min_voxel_hits=3: speckle false-alarm gate (round-5 frontend-fidelity
+    # fix; see FeatureConfig.min_voxel_hits — measured, the err>0.5 m
+    # feature tail is count-1 voxels). FULL config only: at the small
+    # config's coarse 192x96 cells a genuine return spans too few cells and
+    # the gate starves the pipeline (measured: loops 8 -> 0).
+    feature_config = FeatureConfig(max_points=dims.max_points,
+                                   min_voxel_hits=1 if args.small else 3)
     dr_config = DRConfig(roll_offset=0.0)
 
     # host-side alignment (excluded from timing in both systems: the
@@ -351,7 +379,7 @@ def main() -> None:
     sync_dev = jnp.asarray(sync_ok)
 
     use_basis = (do_refine and dims.refine_scale_basis
-                 and dims.estimate_dvl_scale)
+                 and dims.estimate_dvl_scale) or dims.aggregate_with_dr_basis
 
     @jax.jit
     def stage1():
@@ -383,15 +411,16 @@ def main() -> None:
     # SEPARATE programs: one fused jit takes the remote compile service past
     # its request timeout, for zero steady-state benefit
     @jax.jit
-    def stage2b(sel, valid, ping_dr3, pts, masks):
+    def stage2b(sel, valid, ping_dr3, pts, masks, conf, kf_basis):
         frames = KeyframeInput(
             time=ping_time_dev[sel],
             dr_pose3=ping_dr3[sel],
             points=pts,
             pmask=masks & valid[:, None],
             valid=valid,
+            conf=conf,
         )
-        return slam_scan(frames, params, dims)
+        return slam_scan(frames, params, dims, kf_basis)
 
     # mapping stage (VERDICT r1 #5): the reference replay also runs the
     # mapping node (`mapping_node.py:91-126`) — per keyframe: build the
@@ -430,28 +459,64 @@ def main() -> None:
         stage_ms[name] = stage_ms.get(name, 0.0) + (time.time() - t) * 1e3
         return out
 
+    def compiled_cost(jitted, *a):
+        """FLOPs + HBM bytes of a compiled program via XLA cost analysis
+        (the roofline ingredients; VERDICT r4 missing #1). AOT lower on
+        already-compiled args is a cache hit — no recompile."""
+        try:
+            ca = jitted.lower(*a).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return (float(ca.get("flops", 0.0)),
+                    float(ca.get("bytes accessed", 0.0)))
+        except Exception:  # noqa: BLE001 — accounting must not kill bench
+            return None, None
+
+    stage_cost = {}
+
     def device_pipeline(diagnostic=False):
         if diagnostic:
             stage_ms.clear()
             kf_mask, sel_d, valid_d, ping_dr3, ping_basis = timed(
                 "dr_gate", stage1)
-            pts, masks = timed("features", extractor.extract_batch,
-                               ping_images[sel_d])
-            carry, outputs = timed("slam_scan", stage2b, sel_d, valid_d,
-                                   ping_dr3, pts, masks)
+            pts, masks, conf = timed("features", extractor.extract_batch_conf,
+                                     ping_images[sel_d])
+            basis_arg = ping_basis[sel_d] if use_basis else None
+            carry, outputs = timed(
+                "slam_scan", stage2b, sel_d, valid_d, ping_dr3, pts, masks,
+                conf, basis_arg)
+            carry_scan = carry
             if do_refine:
                 carry = timed("refine", refine_loops, carry, params,
-                              rparams, dims, None,
-                              ping_basis[sel_d] if use_basis else None)
+                              rparams, dims, None, basis_arg)
             occ = timed("mapping", stage3_mapping, carry.poses, carry.points,
                         carry.pmasks, valid_d)
+            if not stage_cost:
+                # XLA cost analysis per compiled program (roofline
+                # ingredients). The Pallas feature path's Mosaic kernels
+                # are opaque to XLA's analysis — features is omitted
+                # rather than misreported.
+                stage_cost["dr_gate"] = compiled_cost(stage1)
+                stage_cost["slam_scan"] = compiled_cost(
+                    stage2b, sel_d, valid_d, ping_dr3, pts, masks, conf,
+                    basis_arg)
+                if do_refine:
+                    stage_cost["refine"] = compiled_cost(
+                        refine_loops, carry_scan, params, rparams, dims,
+                        None, basis_arg)
+                stage_cost["mapping"] = compiled_cost(
+                    stage3_mapping, carry.poses, carry.points, carry.pmasks,
+                    valid_d)
         else:
             # zero host syncs until the end: every stage consumes the
             # previous stage's device arrays, so dispatch overlaps the
             # tunnel latency and the wall clock blocks exactly once
             kf_mask, sel_d, valid_d, ping_dr3, ping_basis = stage1()
-            pts, masks = extractor.extract_batch(ping_images[sel_d])
-            carry, outputs = stage2b(sel_d, valid_d, ping_dr3, pts, masks)
+            pts, masks, conf = extractor.extract_batch_conf(
+                ping_images[sel_d])
+            carry, outputs = stage2b(
+                sel_d, valid_d, ping_dr3, pts, masks, conf,
+                ping_basis[sel_d] if use_basis else None)
             if do_refine:
                 carry = refine_loops(carry, params, rparams, dims, None,
                                      ping_basis[sel_d] if use_basis else None)
@@ -461,11 +526,15 @@ def main() -> None:
         return carry, kf_mask, occ
 
     # the remote compile service in this environment sporadically drops
-    # long-running compile requests — retry the first (compiling) run
+    # long-running compile requests — retry the first (compiling) run.
+    # The first run goes through the diagnostic (per-stage blocking) path so
+    # the per-PROGRAM compile+first-run cost is trended (VERDICT r4 weak #7:
+    # cold-compile latency was large and untracked); steady-state repeats
+    # below stay non-blocking.
     t0 = time.time()
     for attempt in range(3):
         try:
-            carry, kf_mask, occ = device_pipeline()
+            carry, kf_mask, occ = device_pipeline(diagnostic=True)
             break
         except Exception as e:  # jax.errors.JaxRuntimeError on transport loss
             log(f"compile attempt {attempt + 1} failed: {e}")
@@ -473,7 +542,9 @@ def main() -> None:
                 raise
             time.sleep(10)
     compile_s = time.time() - t0
-    log(f"first run (incl compile): {compile_s:.1f}s")
+    compile_stages_s = {k: round(v / 1e3, 1) for k, v in stage_ms.items()}
+    log(f"first run (incl compile): {compile_s:.1f}s  per-stage: "
+        f"{compile_stages_s}")
 
     times = []
     for _ in range(args.repeats):
@@ -490,6 +561,14 @@ def main() -> None:
     nk = int(carry.num_kf)
     kf_idx = np.nonzero(np.asarray(kf_mask))[0][: dims.max_keyframes]
     truth = bag.true_pose_at_ping[kf_idx][:nk]
+    # map accuracy vs the simulator's true walls (VERDICT r4 missing #3):
+    # occupied-cell precision/recall + chamfer, truth-frame-aligned
+    from sonar_slam_tpu.mapping import map_metrics as _map_metrics
+
+    mm = _map_metrics(
+        np.asarray(occ), mcfg, bag.world_points, truth,
+        np.asarray(carry.poses[:nk]), dims.max_range, dims.half_aperture,
+    )
     ate = ate_rmse(np.asarray(carry.poses[:nk]), truth)
     hdg = ate_heading_deg(np.asarray(carry.poses[:nk]), truth)
     lm = loop_metrics(carry, truth, dims.nssm_min_st_sep,
@@ -529,6 +608,24 @@ def main() -> None:
         "compile_s": round(compile_s, 1),
         "platform": jax.devices()[0].platform,
         "stages_ms": {k: round(v, 1) for k, v in stage_ms.items()},
+        "compile_stages_s": compile_stages_s,
+        # roofline accounting (VERDICT r4 missing #1): XLA-reported FLOPs +
+        # HBM bytes per compiled stage, achieved FLOP/s vs the v5e bf16 MXU
+        # peak (197 TFLOP/s; conservative — the geometry matmuls run
+        # Precision.HIGHEST, which costs multiple MXU passes per MAC), and
+        # arithmetic intensity (FLOPs/byte; the v5e knee sits at ~240 — far
+        # above every stage here, so the workload is bandwidth/latency-
+        # bound by construction, see docs/ROOFLINE.md)
+        "stages_flops": {k: v[0] for k, v in stage_cost.items()
+                         if v[0] is not None},
+        "stages_bytes": {k: v[1] for k, v in stage_cost.items()
+                         if v[1] is not None},
+        "stages_mfu_pct": {
+            k: round(100.0 * v[0] / (stage_ms[k] * 1e-3 * 197e12), 4)
+            for k, v in stage_cost.items()
+            if v[0] is not None and stage_ms.get(k)
+        } if jax.devices()[0].platform == "tpu" else None,
+        "map_metrics": mm,
         "map_occupied_cells": occupied,
         "est_dvl_scale_xy": [round(v, 5) for v in est_bias]
         if est_bias else None,
@@ -564,37 +661,61 @@ def main() -> None:
                     jnp.float32),
             )
 
+            # params are traced, so BOTH faithful lanes — the full one (the
+            # collapse regression) and the SSM-only one (the reference's own
+            # supported loop-free mode, slam.py:647-650, where faithful
+            # semantics WORK — the positive parity statement, VERDICT r4
+            # missing #2) — share one compiled executable.
             @jax.jit
-            def parity_scan(sel, valid, ping_dr3, pts, masks):
+            def parity_scan(sel, valid, ping_dr3, pts, masks, pp):
                 frames = KeyframeInput(
                     time=ping_time_dev[sel], dr_pose3=ping_dr3[sel],
                     points=pts, pmask=masks & valid[:, None], valid=valid,
                 )
-                return slam_scan(frames, pparams, pdims)
+                return slam_scan(frames, pp, pdims)
 
-            def parity_pipeline():
+            def parity_pipeline(pp):
                 kf_mask, sel_d, valid_d, ping_dr3, _ = stage1()
                 pts, masks = extractor.extract_batch(ping_images[sel_d])
-                pcarry, _ = parity_scan(sel_d, valid_d, ping_dr3, pts, masks)
+                pcarry, _ = parity_scan(sel_d, valid_d, ping_dr3, pts,
+                                        masks, pp)
                 jax.block_until_ready(pcarry.poses)
                 return pcarry, kf_mask
 
+            def parity_eval(pcarry, pkf_mask):
+                kf_idx_p = np.nonzero(np.asarray(pkf_mask))[0][
+                    : dims.max_keyframes]
+                pnk = int(pcarry.num_kf)
+                ptruth = bag.true_pose_at_ping[kf_idx_p][:pnk]
+                est = np.asarray(pcarry.poses[:pnk])
+                return (round(ate_rmse(est, ptruth), 4),
+                        round(ate_heading_deg(est, ptruth), 4),
+                        int(pcarry.num_loops))
+
             t0 = time.time()
-            pcarry, pkf_mask = parity_pipeline()
+            pcarry, pkf_mask = parity_pipeline(pparams)
             parity_compile = time.time() - t0
             t0 = time.time()
-            pcarry, pkf_mask = parity_pipeline()
+            pcarry, pkf_mask = parity_pipeline(pparams)
             pwall = time.time() - t0
-            kf_idx_p = np.nonzero(np.asarray(pkf_mask))[0][
-                : dims.max_keyframes]
-            pnk = int(pcarry.num_kf)
-            ptruth = bag.true_pose_at_ping[kf_idx_p][:pnk]
+            p_ate, p_hdg, p_loops = parity_eval(pcarry, pkf_mask)
+            # SSM-only faithful lane: same executable, nssm_enable=False
+            scarry, skf_mask = parity_pipeline(
+                pparams._replace(nssm_enable=jnp.asarray(False)))
+            s_ate, s_hdg, _ = parity_eval(scarry, skf_mask)
             extras["parity"] = {
-                "ate_m": round(
-                    ate_rmse(np.asarray(pcarry.poses[:pnk]), ptruth), 4),
-                "ate_heading_deg": round(ate_heading_deg(
-                    np.asarray(pcarry.poses[:pnk]), ptruth), 4),
-                "loops": int(pcarry.num_loops),
+                # NOTE: the full-faithful collapse magnitude is chaotic by
+                # mechanism (biased loop acceptance feeds back through the
+                # graph; docs/PARITY.md) — the guard is DIRECTIONAL (worse
+                # than DR, way above production), not a pinned value
+                "ate_m": p_ate,
+                "ate_heading_deg": p_hdg,
+                "loops": p_loops,
+                # SSM-only: faithful semantics on the supported loop-free
+                # path — this one IS stable and test-pinned
+                # (tests/test_parity.py)
+                "ssm_only_ate_m": s_ate,
+                "ssm_only_heading_deg": s_hdg,
                 "xrealtime": round(sim.duration / pwall, 1),
                 "wall_s": round(pwall, 3),
                 "compile_s": round(parity_compile, 1),
@@ -606,12 +727,29 @@ def main() -> None:
 
     # ---- dual-sonar z-accuracy line (BASELINE configs[3]) ----------------
     # always at the small scale: the z metric is resolution-, not duration-,
-    # limited, and the vertical render doubles bag simulation cost
+    # limited, and the vertical render doubles bag simulation cost.
+    # Round-5 production path: per-beam range centroids -> global elevation
+    # grid through the optimized poses -> lift (slam/dual_sonar.py). The
+    # whole lane runs as persistent fused jits like the main lane (the old
+    # replay()-per-run structure re-traced the SLAM scan every call, capping
+    # the lane at ~6x real-time). z truth is sampled in the TRUTH frame via
+    # the same Umeyama alignment the ATE uses — the old lane sampled
+    # seafloor_z at unaligned SLAM-frame coordinates, which alone accounted
+    # for ~0.5 m of its reported z_RMSE.
     if not args.no_dual:
         try:
             from sonar_slam_tpu.io.simulate import seafloor_z
-            from sonar_slam_tpu.pipeline import replay as _replay
-            from sonar_slam_tpu.geometry import se2_transform_points
+            from sonar_slam_tpu.geometry import (
+                pose3_to_pose2 as _p32, se2_transform_points,
+            )
+            from sonar_slam_tpu.estimators import dead_reckoning_scan as _drs
+            from sonar_slam_tpu.slam.dual_sonar import (
+                ElevationSpec, fuse_frames_global,
+            )
+            from sonar_slam_tpu.slam import RefineParams as _RP
+            from sonar_slam_tpu.slam import refine_loops as _refine
+            from sonar_slam_tpu.kernels.cfar import cfar_soca2 as _soca2
+            from sonar_slam_tpu.mapping.metrics import _umeyama_se2
 
             dsim = SimConfig(duration=90.0, speed=0.5, sonar_rate=1.0,
                              num_ranges=192, num_bearings=96,
@@ -635,33 +773,114 @@ def main() -> None:
                 odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
                 icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.03], jnp.float32),
             )
+            dfc = FeatureConfig(max_points=128)
+            dstreams = SensorStreams(
+                imu_time=dbag.imu_time, imu_rpy=dbag.imu_rpy,
+                dvl_time=dbag.dvl_time, dvl_vel=dbag.dvl_vel,
+                depth_time=dbag.depth_time, depth=dbag.depth,
+            )
+            dbundle = build_dr_ticks(dstreams)
+            dtick_idx, dsync = match_pings_to_ticks(
+                dbag.ping_time, dbundle.tick_time)
+            d_images = jnp.asarray(dbag.ping_images)
+            d_vimages = jnp.asarray(dbag.vertical_images, jnp.float32)
+            d_ping_time = jnp.asarray(dbag.ping_time, jnp.float32)
+            d_sync = jnp.asarray(dsync)
+            d_extractor = FeatureExtractor(dfc, dbag.geometry)
+            dK = ddims.max_keyframes
+            half = float(ddims.max_range) * (1.0 + ddims.aggregation_extent)
+            d_spec = ElevationSpec(x0=-half, y0=-half, resolution=0.5,
+                                   nx=int(np.ceil(4 * half)),
+                                   ny=int(np.ceil(4 * half)))
+            d_tau = d_extractor.tau
+            t_, g_ = dfc.ntc // 2, dfc.ngc // 2
+
+            @jax.jit
+            def dual_stage1():
+                _, dr3 = _drs(dbundle.ticks, dr_config)
+                ping_dr3 = dr3[dtick_idx]
+                kf = select_keyframes(
+                    d_ping_time, _p32(ping_dr3), d_sync, dparams)
+                sel = jnp.nonzero(kf, size=dK, fill_value=0)[0]
+                valid = jnp.arange(dK) < jnp.minimum(
+                    jnp.sum(kf.astype(jnp.int32)), dK)
+                return kf, sel, valid, ping_dr3
+
+            @jax.jit
+            def dual_stage2(sel, valid, ping_dr3, pts, masks):
+                frames = KeyframeInput(
+                    time=d_ping_time[sel], dr_pose3=ping_dr3[sel],
+                    points=pts, pmask=masks & valid[:, None], valid=valid,
+                )
+                return slam_scan(frames, dparams, ddims)
+
+            @jax.jit
+            def dual_fuse(points, pmasks, poses, sel):
+                vimgs = d_vimages[sel]
+                vdet = jax.vmap(
+                    lambda im: _soca2(im, t_, g_, d_tau)[0]
+                    & (im > dfc.threshold)
+                )(vimgs)
+                return fuse_frames_global(
+                    points, pmasks, vimgs, vdet, poses,
+                    dbag.vertical_geometry, d_spec,
+                )
+
+            drp = _RP.default()
+
+            def dual_pipeline():
+                kf, sel, valid, ping_dr3 = dual_stage1()
+                pts, masks = d_extractor.extract_batch(d_images[sel])
+                dcarry, _ = dual_stage2(sel, valid, ping_dr3, pts, masks)
+                dcarry = _refine(dcarry, dparams, drp, ddims, None, None)
+                fused = dual_fuse(dcarry.points, dcarry.pmasks,
+                                  dcarry.poses, sel)
+                jax.block_until_ready(fused[0])
+                return dcarry, kf, fused
+
             t0 = time.time()
-            dres = _replay(dbag, FeatureConfig(max_points=128), dparams,
-                           ddims, use_vertical=True)
-            dwall = time.time() - t0
+            dcarry, dkf, fused = dual_pipeline()
+            d_compile = time.time() - t0
             t0 = time.time()
-            dres = _replay(dbag, FeatureConfig(max_points=128), dparams,
-                           ddims, use_vertical=True)
+            dcarry, dkf, fused = dual_pipeline()
             dwall = time.time() - t0
-            nkd = dres.num_keyframes
+            pts3 = np.asarray(fused[0])
+            p3mask = np.asarray(fused[1])
+            floor3 = np.asarray(fused[2])
+            floor_w = np.asarray(fused[3])
+            egrid = fused[4]
+
+            # truth-frame alignment (SLAM frame -> world) over keyframes
+            nkd = int(dcarry.num_kf)
+            dkf_idx = np.nonzero(np.asarray(dkf))[0][:dK][:nkd]
+            dtruth = dbag.true_pose_at_ping[dkf_idx]
+            align = _umeyama_se2(
+                np.asarray(dcarry.poses[:nkd, :2]), dtruth[:, :2])
+            poses_np = np.asarray(dcarry.poses)
             zerrs = []
             for k in range(nkd):
-                m = dres.points3d_mask[k]
-                pts3 = dres.points3d[k][m]
-                if not len(pts3):
-                    continue
-                gxy = np.asarray(se2_transform_points(
-                    jnp.asarray(pts3[:, :2]),
-                    jnp.asarray(dres.trajectory[k])))
-                have_z = pts3[:, 2] > 0.1  # points with vertical evidence
-                if have_z.any():
-                    ztrue = seafloor_z(dsim, gxy[have_z, 0], gxy[have_z, 1])
-                    zerrs.append(pts3[have_z, 2] - ztrue)
-            zerr = np.concatenate(zerrs) if zerrs else np.zeros(1)
+                pose_k = jnp.asarray(poses_np[k])
+                # lifted horizontal points with vertical evidence
+                m = p3mask[k] & (np.abs(pts3[k][:, 2]) > 0.1)
+                if m.any():
+                    g = np.asarray(se2_transform_points(
+                        jnp.asarray(pts3[k][m, :2]), pose_k))
+                    zt = seafloor_z(dsim, *align(g).T)
+                    zerrs.append(pts3[k][m, 2] - zt)
+                # per-beam floor samples (fused 3-D points themselves)
+                fm = floor_w[k] > 0
+                if fm.any():
+                    g = np.asarray(se2_transform_points(
+                        jnp.asarray(floor3[k][fm, :2]), pose_k))
+                    zt = seafloor_z(dsim, *align(g).T)
+                    zerrs.append(floor3[k][fm, 2] - zt)
+            zerr = np.concatenate(zerrs) if zerrs else np.full(1, np.inf)
             extras["dual_sonar"] = {
                 "z_rmse_m": round(float(np.sqrt(np.mean(zerr**2))), 4),
                 "z_points": int(sum(len(z) for z in zerrs)),
+                "elevation_cells": int((np.asarray(egrid.w) > 0).sum()),
                 "wall_s": round(dwall, 3),
+                "compile_s": round(d_compile, 1),
                 "xrealtime": round(dsim.duration / dwall, 1),
             }
             log(f"dual-sonar lane: {extras['dual_sonar']}")

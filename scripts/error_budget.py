@@ -77,6 +77,7 @@ def setups(full: bool):
                         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
                         pair_refine_min_inliers=25,
                         nssm_reinit_after_select=True, aggregate_with_dr=True,
+                        aggregate_with_dr_basis=True,
                         estimate_dvl_scale=True,
                         refine_iters=2, refine_sweep=True, refine_chain=True,
                         refine_scale_from_chain=True, refine_sweep_budget=64,
@@ -228,7 +229,7 @@ def main():
                         imu_yaw_noise=0.0, imu_yaw_drift=0.0,
                         gyro_noise=0.0)
     params = bench_params(dims, kf_t, full=args.full)
-    fc = FeatureConfig(max_points=dims.max_points)
+    fc = FeatureConfig(max_points=dims.max_points, min_voxel_hits=3)
     rng = np.random.default_rng(123)
     report = {}
 

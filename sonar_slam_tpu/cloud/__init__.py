@@ -8,7 +8,12 @@ everything is jit/vmap-able and batches across frames, hypotheses and devices.
 """
 
 from .knn import pairwise_sq_dists, nn_match, count_overlap
-from .voxel import VoxelGridSpec, voxel_downsample, voxel_downsample_with_keys
+from .voxel import (
+    VoxelGridSpec,
+    voxel_downsample,
+    voxel_downsample_with_conf,
+    voxel_downsample_with_keys,
+)
 from .filters import remove_outlier, density_filter
 from .icp import ICPConfig, ICPResult, icp, icp_multistart
 from .normals import estimate_normals

@@ -187,12 +187,23 @@ def icp(
     target_mask: jax.Array,
     guess: jax.Array,
     config: ICPConfig = ICPConfig(),
+    source_weights: jax.Array | None = None,
+    target_weights: jax.Array | None = None,
 ) -> ICPResult:
     """Run trimmed point-to-point ICP from an initial SE(2) guess.
 
     Equivalent call surface to ``SLAM.compute_icp``
     (`/root/reference/bruce_slam/src/bruce_slam/slam.py:294-323`): aligns
     source onto target, returning the absolute source->target transform.
+
+    ``source_weights`` / ``target_weights`` (round-5 frontend-fidelity
+    channel): per-point confidences in [0, 1] multiplied into each
+    correspondence's SOLVE weight (Procrustes / point-to-line normal
+    equations and the Censi information). Gating semantics — trim
+    threshold, inlier COUNT, match starvation — stay binary, so
+    all-ones weights reproduce the unweighted solver bit-for-bit (the
+    reference has no per-point quality notion at all; libpointmatcher
+    descriptors are dropped at the pcl.cpp boundary).
     """
     cfg = config
     smooth = cfg.smooth_length
@@ -237,20 +248,25 @@ def icp(
 
         safe_idx = jnp.clip(idx, 0, target_points.shape[0] - 1)
         matched = target_points[safe_idx]
+        ws = w
+        if source_weights is not None:
+            ws = ws * source_weights.astype(source_points.dtype)
+        if target_weights is not None:
+            ws = ws * target_weights.astype(source_points.dtype)[safe_idx]
         if cfg.point_to_line:
             delta_l, n_constrained, new_info, new_mse = _weighted_p2l(
-                moved, matched, tgt_normals[safe_idx], w
+                moved, matched, tgt_normals[safe_idx], ws
             )
             # starved of line constraints -> fall back to point-to-point
-            delta_p = _weighted_procrustes(moved, matched, w)
-            info_p, mse_p = _p2p_info(moved, matched, w)
+            delta_p = _weighted_procrustes(moved, matched, ws)
+            info_p, mse_p = _p2p_info(moved, matched, ws)
             use_l = n_constrained >= 3
             delta = jnp.where(use_l, delta_l, delta_p)
             new_info = jnp.where(use_l, new_info, info_p)
             new_mse = jnp.where(use_l, new_mse, mse_p)
         else:
-            delta = _weighted_procrustes(moved, matched, w)
-            new_info, new_mse = _p2p_info(moved, matched, w)
+            delta = _weighted_procrustes(moved, matched, ws)
+            new_info, new_mse = _p2p_info(moved, matched, ws)
         new_pose = se2_compose(delta, pose)
 
         # differential transformation checker over the last `smooth` deltas
@@ -309,6 +325,8 @@ def icp_multistart(
     guesses: jax.Array,
     guess_mask: jax.Array,
     config: ICPConfig = ICPConfig(),
+    source_weights: jax.Array | None = None,
+    target_weights: jax.Array | None = None,
 ) -> ICPResult:
     """Batched ICP over G initial guesses — the TPU-native replacement for the
     reference's sequential 2-second-budget multi-start loop
@@ -319,7 +337,8 @@ def icp_multistart(
     """
     run = jax.vmap(
         lambda g: icp(
-            source_points, source_mask, target_points, target_mask, g, config
+            source_points, source_mask, target_points, target_mask, g,
+            config, source_weights, target_weights,
         )
     )
     res = run(guesses)

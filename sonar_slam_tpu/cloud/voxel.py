@@ -69,6 +69,38 @@ def voxel_downsample(
     return centroids, out_mask
 
 
+def voxel_downsample_with_conf(
+    points: jax.Array,
+    mask: jax.Array,
+    conf: jax.Array,  # (N,) per-point confidence channel
+    spec: VoxelGridSpec,
+    max_out: int,
+):
+    """Downsample carrying a per-point scalar confidence (round-5 frontend
+    fidelity channel — detection counts / weights riding along with the
+    cloud). Geometry is IDENTICAL to :func:`voxel_downsample` (count-based
+    centroids and ranking, so a confidence-blind consumer sees the exact
+    same cloud); the output confidence is the mean of the member points'.
+
+    Returns (out_points [max_out, 2], out_mask, out_conf [max_out]).
+    """
+    ids, ok = _cell_ids(points, mask, spec)
+    w = ok.astype(points.dtype)
+    sums = jnp.zeros((spec.num_cells + 1, 2), points.dtype).at[ids].add(
+        points * w[:, None])
+    counts = jnp.zeros((spec.num_cells + 1,), points.dtype).at[ids].add(w)
+    csum = jnp.zeros((spec.num_cells + 1,), points.dtype).at[ids].add(
+        w * conf.astype(points.dtype))
+    counts, sums, csum = counts[:-1], sums[:-1], csum[:-1]
+    score, cell_idx = jax.lax.top_k(counts, max_out)
+    out_mask = score > 0
+    denom = jnp.maximum(counts[cell_idx], 1.0)
+    centroids = sums[cell_idx] / denom[:, None]
+    centroids = jnp.where(out_mask[:, None], centroids, 0.0)
+    out_conf = jnp.where(out_mask, csum[cell_idx] / denom, 0.0)
+    return centroids, out_mask, out_conf
+
+
 def voxel_downsample_with_keys(
     points: jax.Array,
     mask: jax.Array,

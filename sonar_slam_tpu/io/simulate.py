@@ -248,10 +248,13 @@ def _render_vertical(pose, geom, floor_z, rng, cfg):
     for c, phi in enumerate(geom.bearings):
         if phi <= 0.02:  # up/level beams see nothing
             continue
-        # iterate a couple of times: range depends on floor height at the
-        # horizontal footprint distance
+        # iterate the ray/floor fixed point: range depends on floor height
+        # at the horizontal footprint distance. The contraction ratio is
+        # ~slope/tan(phi) (up to ~0.4 at shallow beams) — 2 iterations left
+        # the rendered band up to ~0.2 m off the analytic floor, a floor on
+        # any fusion accuracy metric; 6 converges to millimeters.
         r = cfg.seafloor_depth / np.sin(phi)
-        for _ in range(2):
+        for _ in range(6):
             dx = r * np.cos(phi)
             fx = pose[0] + dx * np.cos(pose[2])
             fy = pose[1] + dx * np.sin(pose[2])

@@ -10,9 +10,11 @@ into the same kernel, so the whole front-end detector is one memory pass.
 
 Grid: (num_frames, num_beam_tiles); each program handles one (R, 128) tile of
 one frame. Row-border semantics identical to cfar.py / cfar.cpp (rows within
-train_hs + guard_hs of either edge never detect). OS-CFAR keeps the XLA sort
-path (a windowed rank statistic needs a per-window sort; XLA's sort is
-already near-roofline for the <=40-wide windows).
+train_hs + guard_hs of either edge never detect). OS-CFAR is fused too
+(``_cfar_os_kernel``): the windowed rank statistic is found by a binary
+search over the intensity range (counting training cells <= mid with the
+same sublane rolls) — exact for integer-valued images, i.e. the decoded
+uint8 sonar intensities this pipeline feeds it.
 """
 
 from __future__ import annotations

@@ -22,3 +22,4 @@ from .occupancy import (
     get_occupancy_map,
     save_submaps,
 )
+from .metrics import map_metrics, observed_mask, occupied_cell_centers

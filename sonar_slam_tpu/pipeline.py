@@ -61,6 +61,14 @@ class ReplayResult(NamedTuple):
     dense_trajectory: np.ndarray  # (Ts, 3) SLAM pose at EVERY ping (see below)
     points3d: np.ndarray | None = None  # (K', N, 3) dual-sonar fused clouds
     points3d_mask: np.ndarray | None = None
+    # dual-sonar production outputs (slam/dual_sonar.py round-5 path):
+    # per-beam floor samples as fused 3-D points (local frames) + the global
+    # elevation grid (the z mapping export)
+    floor_points3d: np.ndarray | None = None  # (K', Cv, 3)
+    floor_weights: np.ndarray | None = None  # (K', Cv)
+    elevation_z: np.ndarray | None = None  # (H, W)
+    elevation_w: np.ndarray | None = None  # (H, W)
+    elevation_spec: object | None = None  # ElevationSpec
 
 
 def _kalman_odometry(bag: SyntheticBag, kalman_config: KalmanConfig):
@@ -156,7 +164,9 @@ def replay(
         )
         bundle = build_dr_ticks(streams)
         tick_time = bundle.tick_time
-        if dims.refine_scale_basis and dims.estimate_dvl_scale:
+        if (dims.refine_scale_basis and dims.estimate_dvl_scale) or (
+            dims.aggregate_with_dr_basis
+        ):
             # one fused scan: full-DR lane + the two basis-integral lanes
             dr_poses3, tick_basis = dead_reckoning_with_basis_scan(
                 bundle.ticks, dr_config
@@ -193,7 +203,8 @@ def replay(
 
     # 4) batched feature extraction on keyframe pings only
     extractor = FeatureExtractor(feature_config, bag.geometry)
-    pts, masks = extractor.extract_batch(jnp.asarray(bag.ping_images[sel]))
+    pts, masks, conf = extractor.extract_batch_conf(
+        jnp.asarray(bag.ping_images[sel]))
     masks = masks & jnp.asarray(valid)[:, None]
 
     frames = KeyframeInput(
@@ -202,18 +213,25 @@ def replay(
         points=pts,
         pmask=masks,
         valid=jnp.asarray(valid),
+        conf=conf,
+    )
+
+    if dims.aggregate_with_dr_basis and tick_basis is None:
+        raise ValueError(
+            "aggregate_with_dr_basis requires a DR frontend (the basis "
+            "integrals come from dead_reckoning_with_basis_scan)"
+        )
+    kf_basis = (
+        jnp.asarray(tick_basis[tick_idx][sel])
+        if tick_basis is not None else None
     )
 
     # 5) the fused SLAM scan
-    carry, outputs = slam_scan(frames, params, dims)
+    carry, outputs = slam_scan(frames, params, dims, kf_basis)
 
     # 5b) post-convergence loop re-registration (slam/refine.py), optionally
     # sharding its registration fan-outs over a device mesh
     if dims.refine_iters > 0:
-        kf_basis = (
-            jnp.asarray(tick_basis[tick_idx][sel])
-            if tick_basis is not None else None
-        )
         carry = refine_loops(
             carry, params,
             refine_params if refine_params is not None
@@ -237,10 +255,13 @@ def replay(
     )
 
     points3d = points3d_mask = None
+    floor3d = floor_w = egrid = espec = None
     if use_vertical:
         if bag.vertical_images is None:
             raise ValueError("bag has no vertical sonar stream")
-        from .slam.dual_sonar import fuse_frames
+        from .slam.dual_sonar import (
+            ElevationSpec, fuse_frames_global,
+        )
         from .kernels.cfar import cfar_soca2
         from .kernels.cfar_factors import threshold_factor_soca
 
@@ -251,10 +272,18 @@ def replay(
             lambda im: cfar_soca2(im, t_, g_, tau)[0]
             & (im > feature_config.threshold)
         )(vimgs)
-        p3, p3m = fuse_frames(
-            carry.points, carry.pmasks, vdet, bag.vertical_geometry
+        # elevation-grid extent: the survey area (trajectory +- max range)
+        half = float(dims.max_range) * (1.0 + dims.aggregation_extent)
+        res = 0.5
+        n = int(np.ceil(2 * half / res))
+        espec = ElevationSpec(x0=-half, y0=-half, resolution=res, nx=n, ny=n)
+        p3, p3m, floor3, fw, egrid_dev = fuse_frames_global(
+            carry.points, carry.pmasks, vimgs, vdet, carry.poses,
+            bag.vertical_geometry, espec,
         )
         points3d, points3d_mask = np.asarray(p3), np.asarray(p3m)
+        floor3d, floor_w = np.asarray(floor3), np.asarray(fw)
+        egrid = (np.asarray(egrid_dev.z), np.asarray(egrid_dev.w))
 
     return ReplayResult(
         trajectory=np.asarray(carry.poses[:nk]),
@@ -269,6 +298,11 @@ def replay(
         dense_trajectory=np.asarray(dense),
         points3d=points3d,
         points3d_mask=points3d_mask,
+        floor_points3d=floor3d,
+        floor_weights=floor_w,
+        elevation_z=egrid[0] if egrid is not None else None,
+        elevation_w=egrid[1] if egrid is not None else None,
+        elevation_spec=espec,
     )
 
 

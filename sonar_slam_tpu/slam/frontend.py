@@ -58,6 +58,17 @@ class FeatureConfig(NamedTuple):
     # 231-238) and cannot do this; on real Oculus data the return envelope
     # spans several cells, so the information is there.
     subbin: bool = True
+    # minimum CFAR detections per voxel for the voxel to emit a point. A
+    # genuine return's pulse/beam envelope spans several polar cells, so
+    # real features land 5+ detections in their voxel; isolated speckle
+    # false alarms land exactly 1. Measured (seeds 0/4, full-config
+    # geometry): the err>0.5 m feature tail is count-1 voxels at every
+    # quantile (median good count 8, good q10 ~5) — this single gate
+    # removes the heavy tail the round-4 error budget identified as the
+    # ATE frontier (docs/ACCURACY.md round 5). The reference's pixel-count
+    # voxel filter has no analog (its downsampler keeps every occupied
+    # octree node, pcl.cpp:128-159). 1 = off (legacy behavior).
+    min_voxel_hits: int = 1
 
 
 class StaticVoxelBinner:
@@ -105,7 +116,8 @@ class StaticVoxelBinner:
 
     def __call__(self, flat_mask: jax.Array, max_out: int,
                  flat_weights: jax.Array | None = None,
-                 flat_xy: jax.Array | None = None):
+                 flat_xy: jax.Array | None = None,
+                 min_hits: int = 1):
         """(num_cells,) bool detection mask -> (points [max_out,2], mask).
 
         With ``flat_weights`` (e.g. echo intensities), voxel representatives
@@ -139,9 +151,16 @@ class StaticVoxelBinner:
         sums = jnp.einsum("vg,vgc->vc", w, group_xy,
                           precision=jax.lax.Precision.HIGHEST)
         score, vi = jax.lax.top_k(counts, max_out)
-        out_mask = score > 0
+        # speckle gate: a voxel must collect >= min_hits detections (see
+        # FeatureConfig.min_voxel_hits)
+        out_mask = score > max(min_hits, 1) - 0.5
         centroids = sums[vi] / jnp.maximum(wsum[vi], 1e-6)[:, None]
-        return jnp.where(out_mask[:, None], centroids, 0.0), out_mask
+        # third channel: the voxel's detection count — the measured
+        # speckle/real separator (isolated speckle = 1, genuine returns'
+        # pulse envelopes = several), consumed downstream as per-point
+        # registration confidence (SlamParams.conf_ref/conf_power)
+        conf = jnp.where(out_mask, score, 0.0)
+        return jnp.where(out_mask[:, None], centroids, 0.0), out_mask, conf
 
 
 class FeatureExtractor:
@@ -252,9 +271,10 @@ class FeatureExtractor:
             peaks = self._detect(img)
             peaks = peaks & (img > self.config.threshold)
             flat = peaks.reshape(-1)
-            pts, mask = self._binner(
+            pts, mask, conf = self._binner(
                 flat, self.config.max_points, img.reshape(-1),
                 _subbin_xy(img) if self.config.subbin else None,
+                min_hits=self.config.min_voxel_hits,
             )
             if self.config.outlier_min_points > 1:
                 mask = remove_outlier(
@@ -263,7 +283,7 @@ class FeatureExtractor:
                     self.config.outlier_radius,
                     self.config.outlier_min_points,
                 )
-            return pts, mask
+            return pts, mask, conf
 
         self._pipeline = _pipeline
         self._pipeline_batch = jax.jit(jax.vmap(_pipeline))
@@ -284,17 +304,18 @@ class FeatureExtractor:
 
             def _postprocess(args_):
                 flat_peaks, flat_intensity = args_
-                pts, mask = self._binner(
+                pts, mask, conf = self._binner(
                     flat_peaks, config.max_points, flat_intensity,
                     _subbin_xy(flat_intensity.reshape(Rn, Cn))
                     if config.subbin else None,
+                    min_hits=config.min_voxel_hits,
                 )
                 if config.outlier_min_points > 1:
                     mask = remove_outlier(
                         pts, mask, config.outlier_radius,
                         config.outlier_min_points,
                     )
-                return pts, mask
+                return pts, mask, conf
 
             # SEPARATE small jit units composed with a host-level chunk loop:
             # one fused jit of (pallas CFAR + wide postprocess) takes the
@@ -333,7 +354,8 @@ class FeatureExtractor:
                 ]
                 pts = jnp.concatenate([o[0] for o in outs])[:B]
                 mask = jnp.concatenate([o[1] for o in outs])[:B]
-                return pts, mask
+                conf = jnp.concatenate([o[2] for o in outs])[:B]
+                return pts, mask, conf
 
             # host-composed: already made of jitted units (do NOT wrap in an
             # enclosing jit — that recreates the monolithic compile)
@@ -344,12 +366,17 @@ class FeatureExtractor:
 
     def extract(self, img: jax.Array):
         """One polar frame [R, C] -> (points [max_points, 2], mask)."""
-        return self._pipeline(img)
+        return self._pipeline(img)[:2]
 
     def extract_batch(self, imgs: jax.Array):
         """[B, R, C] frames -> ([B, max_points, 2], [B, max_points]) in one
         fused TPU call — the batched replacement for the per-ping ROS
         callback. Uses the fused Pallas detector on TPU."""
+        return self.extract_batch_conf(imgs)[:2]
+
+    def extract_batch_conf(self, imgs: jax.Array):
+        """Like :meth:`extract_batch` plus the per-point confidence channel
+        (voxel detection counts): ([B, N, 2], [B, N] bool, [B, N] f32)."""
         if self._pallas_ok:
             return self._pallas_batch(imgs)
         return self._pipeline_batch(imgs)

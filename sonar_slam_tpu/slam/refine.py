@@ -61,7 +61,13 @@ from ..cloud import icp
 from ..cloud.icp import censi_covariance
 from ..geometry import se2_between
 from ..graph.factor_graph import cov_to_sqrt_info, optimize
-from .core import SlamCarry, SlamDims, SlamParams, _aggregate_window
+from .core import (
+    SlamCarry,
+    SlamDims,
+    SlamParams,
+    _aggregate_window,
+    conf_weight,
+)
 from .scan_matching import apply_covariance_floor, localize_covariance
 
 
@@ -207,19 +213,22 @@ def _register_pair(
     guess = se2_between(carry.poses[si], carry.poses[sj])
 
     # source submap: trailing window ending at j (the in-scan convention)
-    src_pts, src_mask = _aggregate_window(
+    src_pts, src_mask, src_conf = _aggregate_window(
         carry, carry.poses[sj], sj - dims.nssm_source_frames + 1,
         dims.nssm_source_frames, spec, M,
         ref_key=sj, use_dr_relatives=dims.aggregate_with_dr,
+        use_basis=dims.aggregate_with_dr_basis,
     )
     # target submap: centered window around i
     tw = dims.refine_target_window
-    tgt_pts, tgt_mask = _aggregate_window(
+    tgt_pts, tgt_mask, tgt_conf = _aggregate_window(
         carry, carry.poses[si], si - tw, 2 * tw + 1, spec, M,
         ref_key=si, use_dr_relatives=dims.aggregate_with_dr,
+        use_basis=dims.aggregate_with_dr_basis,
     )
 
-    res = icp(src_pts, src_mask, tgt_pts, tgt_mask, guess, dims.icp)
+    res = icp(src_pts, src_mask, tgt_pts, tgt_mask, guess, dims.icp,
+              conf_weight(src_conf, params), conf_weight(tgt_conf, params))
     d = se2_between(guess, res.pose)
     in_gate = (jnp.linalg.norm(d[:2]) <= rp.max_dt) & (
         jnp.abs(d[2]) <= rp.max_dr
@@ -231,6 +240,8 @@ def _register_pair(
     rr = icp(
         carry.points[sj], carry.pmasks[sj],
         carry.points[si], carry.pmasks[si], z, dims.icp,
+        conf_weight(carry.pconf[sj], params),
+        conf_weight(carry.pconf[si], params),
     )
     dd = se2_between(z, rr.pose)
     pair_ok = (
@@ -437,12 +448,19 @@ def _densify_chain(
         rr = icp(
             c.points[k], c.pmasks[k],
             c.points[prev], c.pmasks[prev], guess, dims.icp,
+            conf_weight(c.pconf[k], params),
+            conf_weight(c.pconf[prev], params),
         )
         dd = se2_between(guess, rr.pose)
         # independent cross-check vs the scale-corrected raw DR delta over
         # the same interval (see RefineParams.chain_dr_max_*)
-        zd = se2_between(c.dr_poses[prev], c.dr_poses[k])
-        zd = zd.at[:2].multiply(jnp.exp(c.graph.log_scale))
+        if dims.aggregate_with_dr_basis:
+            from .core import scaled_dr_between
+
+            zd = scaled_dr_between(c, prev, k, jnp.exp(c.graph.log_scale))
+        else:
+            zd = se2_between(c.dr_poses[prev], c.dr_poses[k])
+            zd = zd.at[:2].multiply(jnp.exp(c.graph.log_scale))
         dr_dev_t = jnp.linalg.norm(rr.pose[:2] - zd[:2])
         dr_dev_r = jnp.abs(
             jnp.mod(rr.pose[2] - zd[2] + jnp.pi, 2 * jnp.pi) - jnp.pi
@@ -665,6 +683,8 @@ def _sweep(
         rr = icp(
             c.points[j], c.pmasks[j],
             c.points[i], c.pmasks[i], guess, dims.icp,
+            conf_weight(c.pconf[j], params),
+            conf_weight(c.pconf[i], params),
         )
         dd = se2_between(guess, rr.pose)
         ok = (
@@ -847,4 +867,12 @@ def refine_loops(
     # one sweep when nothing was pruned)
     carry = _prune_loops(carry, rp, dims)
     carry = opt(carry)
+    if dims.refine_final_sweep and dims.refine_sweep:
+        # post-prune sweep: the poses are now the pipeline's best, so
+        # revisit pairs that failed their guess-consistency gate earlier
+        # convert here; the second prune keeps precision
+        # (SlamDims.refine_final_sweep)
+        carry = opt(_sweep(carry, params, rp, dims, mesh))
+        carry = _prune_loops(carry, rp, dims)
+        carry = opt(carry)
     return carry

@@ -103,3 +103,44 @@ def test_icp_jit_compiles_once():
     r1 = f(jnp.zeros(3))
     r2 = f(jnp.asarray([0.1, 0.1, 0.01]))
     assert bool(r1.ok) and bool(r2.ok)
+
+
+def test_weighted_icp_downweights_low_confidence_outliers():
+    """Round-5 confidence channel: per-point source/target weights enter the
+    SOLVE (not the gates). A cluster of consistently-shifted low-confidence
+    points inside the correspondence radius biases the unweighted solve;
+    weighting them near zero recovers the true transform. All-ones weights
+    reproduce the unweighted result bit-for-bit."""
+    tgt, tmask = make_cloud()
+    true = jnp.asarray([0.25, -0.2, 0.05], jnp.float32)
+    src = se2_transform_points(tgt, se2_inverse(true))
+    # poison: copy 60 source points shifted 1.2 m along the first wall's
+    # tangent (inside outlier_max_dist=3) so they drag the solution
+    src_np = np.array(src)
+    msk = np.asarray(tmask).copy()
+    poison = src_np[:60] + np.asarray([1.2, 0.6])
+    src_np[200:256] = poison[:56]
+    msk[200:256] = True
+    srcp = jnp.asarray(src_np)
+    mskp = jnp.asarray(msk)
+
+    cfg = ICPConfig(min_diff_rot=1e-4, min_diff_trans=1e-3, trim_ratio=1.0)
+    res_plain = icp(srcp, mskp, tgt, tmask, jnp.zeros(3), cfg)
+    err_plain = float(np.linalg.norm(
+        np.asarray(res_plain.pose)[:2] - np.asarray(true)[:2]))
+
+    w = np.ones(256, np.float32)
+    w[200:] = 0.02  # low-confidence channel for the poison
+    res_w = icp(srcp, mskp, tgt, tmask, jnp.zeros(3), cfg,
+                source_weights=jnp.asarray(w))
+    err_w = float(np.linalg.norm(
+        np.asarray(res_w.pose)[:2] - np.asarray(true)[:2]))
+    assert err_plain > 0.1, err_plain  # the poison really bites unweighted
+    assert err_w < 0.05, (err_w, err_plain)
+
+    # all-ones weights == unweighted, bit-for-bit
+    res_ones = icp(srcp, mskp, tgt, tmask, jnp.zeros(3), cfg,
+                   source_weights=jnp.ones(256, jnp.float32),
+                   target_weights=jnp.ones(256, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(res_ones.pose),
+                                  np.asarray(res_plain.pose))

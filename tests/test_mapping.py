@@ -197,3 +197,45 @@ def test_save_submaps_roundtrip(model, tmp_path):
     np.testing.assert_allclose(
         d["map_size"],
         [CFG.x0, CFG.y0, CFG.width, CFG.height, CFG.resolution])
+
+
+def test_map_metrics_scores_against_true_walls(model):
+    """Map accuracy metric (VERDICT r4 missing #3): occupied-cell
+    precision/recall + chamfer vs the known wall, with FOV-gated recall."""
+    from sonar_slam_tpu.mapping import map_metrics, observed_mask
+
+    st = mapping_init(CFG, model)
+    pts, m = wall_points()  # wall at x=10, y in [-4, 4], identity pose
+    poses = np.asarray([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]], np.float32)
+    for k, p in enumerate(poses):
+        st = add_keyframe(st, k, jnp.asarray(p), pts, m, model)
+    occ = np.asarray(occupancy_grid_method1(st, model))
+
+    ys = np.linspace(-4, 4, 40)
+    wall = np.stack([np.full_like(ys, 10.0), ys], -1)
+    # an unobserved decoy wall BEHIND the sensor must not count as missed
+    decoy = np.stack([np.full_like(ys, -15.0), ys], -1)
+    world = np.concatenate([wall, decoy])
+
+    seen = observed_mask(world, poses, max_range=20.0,
+                         half_aperture=float(GEOM.bearings[-1]))
+    assert seen[: len(wall)].all()
+    assert not seen[len(wall):].any()
+
+    mm = map_metrics(occ, CFG, world, poses, poses,
+                     max_range=20.0,
+                     half_aperture=float(GEOM.bearings[-1]))
+    assert mm["observed_truth_points"] == len(wall)
+    assert mm["recall"] >= 0.9, mm
+    assert mm["precision"] >= 0.7, mm  # inflation widens the wall ~1 cell
+    assert mm["chamfer_cm"] < 50, mm
+
+    # a fabricated occupied blob far from any wall must tank precision
+    occ_bad = occ.copy()
+    rr = int(round((15.0 - CFG.y0) / CFG.resolution))
+    cc = int(round((-20.0 - CFG.x0) / CFG.resolution))
+    occ_bad[rr - 4 : rr + 4, cc - 4 : cc + 4] = 100
+    mm_bad = map_metrics(occ_bad, CFG, world, poses, poses,
+                         max_range=20.0,
+                         half_aperture=float(GEOM.bearings[-1]))
+    assert mm_bad["precision"] < mm["precision"] - 0.1, (mm, mm_bad)

@@ -180,9 +180,27 @@ class TestParityCollapse:
 
         res_prod = replay(bag, fc, params_for(prod_dims, False), prod_dims)
         res_par = replay(bag, fc, params_for(par_dims, True), par_dims)
+        # faithful SSM-only (NSSM disabled): the reference's loop-free mode.
+        # Traced param flip — reuses res_par's compiled executable.
+        res_ssm = replay(
+            bag, fc,
+            params_for(par_dims, True)._replace(
+                nssm_enable=jnp.asarray(False)),
+            par_dims)
+        # faithful odometry mode (SSM disabled too -> every factor is the DR
+        # delta, slam.py:647-650 fallback): the graph machinery must
+        # reproduce dead reckoning exactly
+        res_odo = replay(
+            bag, fc,
+            params_for(par_dims, True)._replace(
+                ssm_enable=jnp.asarray(False),
+                nssm_enable=jnp.asarray(False)),
+            par_dims)
         out = {}
         for name, res, dims in (("prod", res_prod, prod_dims),
-                                ("par", res_par, par_dims)):
+                                ("par", res_par, par_dims),
+                                ("ssm_only", res_ssm, par_dims),
+                                ("odom", res_odo, par_dims)):
             nk = res.num_keyframes
             truth = bag.true_pose_at_ping[res.keyframe_ping_idx][:nk]
             nl = min(int(res.carry.num_loops), dims.max_loops)
@@ -200,6 +218,9 @@ class TestParityCollapse:
                 "ate": ate_rmse(res.trajectory, truth),
                 "dr_ate": ate_rmse(res.dr_trajectory, truth),
                 "loop_errs": errs,
+                "max_dev_from_dr": float(
+                    np.abs(res.trajectory[:, :2]
+                           - res.dr_trajectory[:, :2]).max()),
             }
         return out
 
@@ -207,8 +228,14 @@ class TestParityCollapse:
         par, prod = lanes["par"], lanes["prod"]
         # the reference-faithful lane lands WORSE than raw dead reckoning
         # (round-3 forensic: 46 cm vs 10.5 cm DR) ...
+        # The collapse MAGNITUDE is chaotic by mechanism — biased loop
+        # acceptance feeds back through the graph, so small fp/schedule
+        # differences move it 2x between sessions (0.5 m here vs 4.9 m on
+        # the full bench bag, VERDICT r4 weak #3). The guard is therefore
+        # DIRECTIONAL (worse than DR, far above production) plus a sanity
+        # ceiling, not a pinned value.
         assert par["ate"] > par["dr_ate"], lanes
-        assert par["ate"] > 0.25, par["ate"]
+        assert 0.25 < par["ate"] < 10.0, par["ate"]
         # ... while the production stack stays centimetric. (Until the
         # round-4 DVL-gate fix, raw DR on this short bag was ~10 cm and
         # production halved it; with the censoring bug gone, 90 s of
@@ -218,6 +245,31 @@ class TestParityCollapse:
         # 4-11 cm SLAM, docs/ACCURACY.md round 4.)
         assert prod["ate"] < 0.10, prod["ate"]
         assert prod["ate"] < 1.5 * prod["dr_ate"], lanes
+
+    def test_odometry_mode_reproduces_dead_reckoning(self, lanes):
+        """The POSITIVE end-to-end parity lane (VERDICT r4 missing #2): in
+        the reference's odometry fallback mode (slam.py:647-650 — every
+        factor is the DR delta) the faithful graph machinery — prior +
+        between factors, noise models, GN smoother, marginals — must
+        reproduce the dead-reckoning chain exactly. Measured: 2 microns max
+        deviation (the GN solve of an exactly-determined chain)."""
+        o = lanes["odom"]
+        assert o["max_dev_from_dr"] < 1e-3, o
+        assert abs(o["ate"] - o["dr_ate"]) < 1e-3, o
+        assert len(o["loop_errs"]) == 0
+
+    def test_ssm_only_faithful_lane_band(self, lanes):
+        """Faithful SSM-only (NSSM off) is NOT centimetric — refuting the
+        natural hypothesis that only the loop factors carry the faithful
+        stack's bias. Measured (3 seeds, round 5): 0.36-0.94 m vs DR
+        0.04-0.17 m — the p2p/3 m-radius SSM registrations replace good DR
+        odometry with biased rotations (the round-3 heading-fix mechanism,
+        docs/ACCURACY.md). Pinned as a band: bad enough to show the bias,
+        bounded enough to stay meaningful."""
+        s = lanes["ssm_only"]
+        assert 0.15 < s["ate"] < 2.0, s
+        assert s["ate"] > s["dr_ate"], s
+        assert len(s["loop_errs"]) == 0
 
     def test_forced_matches_pass_pcm_with_large_errors(self, lanes):
         """The collapse mechanism: loops that PASSED PCM (they are in the

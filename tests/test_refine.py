@@ -435,3 +435,29 @@ def test_while_scan_matches_padded_scan():
         assert bool(
             (jnp.asarray(a)[valid] == jnp.asarray(b)[valid]).all()
         ), name
+
+
+def test_final_sweep_adds_loops_keeps_truth():
+    """refine_final_sweep (round 5, recall mechanism): the post-prune sweep
+    may only ADD loops, every logged measurement stays truth-consistent
+    (precision contract via the second prune), and poses don't regress."""
+    base = _dims(refine_sweep=True)
+    carry, truth = _build_carry(base, loop_bias=(0.25, -0.2, 0.0))
+    params = _params(base)
+    rp = RefineParams.default()
+
+    out0 = refine_loops(carry, params, rp, base)
+    dims_fs = _dims(refine_sweep=True, refine_final_sweep=True)
+    out1 = refine_loops(carry, params, rp, dims_fs)
+
+    assert int(out1.num_loops) >= int(out0.num_loops)
+    # every surviving loop measurement is truth-consistent
+    for l in range(int(out1.num_loops)):
+        i, j = int(out1.loops_i[l]), int(out1.loops_j[l])
+        z = np.asarray(out1.loops_tf[l])
+        zt = np.asarray(se2_between(jnp.asarray(truth[i]),
+                                    jnp.asarray(truth[j])))
+        assert np.linalg.norm(z[:2] - zt[:2]) < 0.12, (l, z - zt)
+    err = float(np.abs(np.asarray(out1.poses)[:, :2] - truth[:, :2]).max())
+    err0 = float(np.abs(np.asarray(out0.poses)[:, :2] - truth[:, :2]).max())
+    assert err < err0 + 0.05, (err, err0)
