@@ -239,6 +239,11 @@ def main() -> None:
                         aggregate_with_dr_basis=True,
                         estimate_dvl_scale=True, dvl_scale_prior_sigma=0.05,
                         refine_iters=2, refine_sweep=True, refine_chain=True,
+                        # post-prune sweep + second prune (r5: ATE 5.32->5.22
+                        # seed 0 / 5.38->5.34 seed 4, loop medians improve,
+                        # precision 1.0 held; recall-neutral — see
+                        # docs/ACCURACY.md round-5 recall note)
+                        refine_final_sweep=True,
                         # direct chain-ratio scale anchor (r4 probe: seed-0
                         # ATE 14.9 -> 12.1 at equal precision/recall; small
                         # single-arc config measured worse with it — stays
@@ -348,13 +353,13 @@ def main() -> None:
     if args.refine_robust >= 0:
         rparams = rparams._replace(robust=jnp.asarray(bool(args.refine_robust)))
     do_refine = dims.refine_iters > 0 and not args.no_refine
-    # min_voxel_hits=3: speckle false-alarm gate (round-5 frontend-fidelity
-    # fix; see FeatureConfig.min_voxel_hits — measured, the err>0.5 m
-    # feature tail is count-1 voxels). FULL config only: at the small
-    # config's coarse 192x96 cells a genuine return spans too few cells and
-    # the gate starves the pipeline (measured: loops 8 -> 0).
-    feature_config = FeatureConfig(max_points=dims.max_points,
-                                   min_voxel_hits=1 if args.small else 3)
+    # The speckle false-alarm HARD gate (FeatureConfig.min_voxel_hits) stays
+    # OFF in production: it kills the count-1 speckle tail but starves the
+    # density-priced gates downstream (recall 0.75 -> 0.18 at the full
+    # config; docs/ACCURACY.md round 5). The shipped mechanism is the SOFT
+    # confidence channel: per-point voxel detection counts -> ICP
+    # correspondence weights (SlamParams.conf_ref/conf_power below).
+    feature_config = FeatureConfig(max_points=dims.max_points)
     dr_config = DRConfig(roll_offset=0.0)
 
     # host-side alignment (excluded from timing in both systems: the

@@ -80,6 +80,7 @@ def setups(full: bool):
                         aggregate_with_dr_basis=True,
                         estimate_dvl_scale=True,
                         refine_iters=2, refine_sweep=True, refine_chain=True,
+                        refine_final_sweep=True,
                         refine_scale_from_chain=True, refine_sweep_budget=64,
                         refine_scale_basis=True, refine_incremental=True)
         kf_t = 3.0

@@ -83,6 +83,7 @@ def main():
                         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
                         pair_refine_min_inliers=25,
                         nssm_reinit_after_select=True, aggregate_with_dr=True,
+                        aggregate_with_dr_basis=True,
                         estimate_dvl_scale=True)
         kf_t = 3.0
     else:
@@ -111,7 +112,14 @@ def main():
                             depth_time=bag.depth_time, depth=bag.depth)
     bundle = build_dr_ticks(streams)
     tick_idx, sync_ok = match_pings_to_ticks(bag.ping_time, bundle.tick_time)
-    _, dr3 = dead_reckoning_scan(bundle.ticks, DRConfig(roll_offset=0.0))
+    if dims.aggregate_with_dr_basis:
+        from sonar_slam_tpu.estimators import dead_reckoning_with_basis_scan
+
+        dr3, tick_basis = dead_reckoning_with_basis_scan(
+            bundle.ticks, DRConfig(roll_offset=0.0))
+    else:
+        _, dr3 = dead_reckoning_scan(bundle.ticks, DRConfig(roll_offset=0.0))
+        tick_basis = None
     ping_dr3 = dr3[tick_idx]
     kf_mask = np.asarray(select_keyframes(
         jnp.asarray(bag.ping_time), pose3_to_pose2(ping_dr3),
@@ -139,8 +147,22 @@ def main():
             nssm_enable=jnp.asarray(False), ssm_enable=jnp.asarray(False)),
     }
 
+    import jax as _jax
+
+    # ONE jitted program; params are traced so every variant below reuses
+    # the same executable. (slam_scan itself is a plain function since the
+    # round-4 while_loop rewrite — calling it unjitted re-traces the whole
+    # fused program per call, which on this host costs ~40 s and silently
+    # turns this profiler into a tracing benchmark.)
+    kf_basis = (jnp.asarray(np.asarray(tick_basis)[tick_idx][sel])
+                if tick_basis is not None else None)
+
+    @_jax.jit
+    def _scan(params, frames_):
+        return slam_scan(frames_, params, dims, kf_basis)
+
     def run(params, frames_):
-        carry, _ = slam_scan(frames_, params, dims)
+        carry, _ = _scan(params, frames_)
         jax.block_until_ready(carry.poses)
         return carry
 
