@@ -230,7 +230,7 @@ def main():
                         imu_yaw_noise=0.0, imu_yaw_drift=0.0,
                         gyro_noise=0.0)
     params = bench_params(dims, kf_t, full=args.full)
-    fc = FeatureConfig(max_points=dims.max_points, min_voxel_hits=3)
+    fc = FeatureConfig(max_points=dims.max_points)
     rng = np.random.default_rng(123)
     report = {}
 

@@ -61,7 +61,7 @@ def main():
 
     sim0, dims, kf_t = setups(args.full)
     params = bench_params(dims, kf_t, full=args.full)
-    fc = FeatureConfig(max_points=dims.max_points, min_voxel_hits=3)
+    fc = FeatureConfig(max_points=dims.max_points)
 
     per_seed = []
     for seed in range(args.seeds):

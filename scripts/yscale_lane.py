@@ -55,8 +55,10 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--crab", type=float, default=20.0)
-    ap.add_argument("--min-hits", type=int, default=0,
-                    help="override FeatureConfig.min_voxel_hits (0 = config)")
+    ap.add_argument("--min-hits", type=int, default=1,
+                    help="FeatureConfig.min_voxel_hits (production: 1 — the "
+                         "hard gate starves the count-priced gates, "
+                         "docs/ACCURACY.md round 5)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -64,7 +66,7 @@ def main():
     sim0 = replace(sim0, crab_deg=args.crab)
     params = bench_params(dims, kf_t, full=True)
     fc = FeatureConfig(max_points=dims.max_points,
-                       min_voxel_hits=args.min_hits or 3)
+                       min_voxel_hits=max(args.min_hits, 1))
     rp = bench_rparams(True)
 
     per_seed = []
