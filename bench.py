@@ -228,7 +228,11 @@ def main() -> None:
                         imu_rate=50.0, seed=args.seed)
         dims = SlamDims(max_keyframes=128, max_points=256, target_capacity=1024,
                         nssm_cov_samples=12, ssm_sobol=64, nssm_sobol=512,
-                        max_loops=64, gn_iters=3, icp=icp_prod,
+                        # 64 was CAPACITY-SATURATED: every 5-seed run logged
+                        # exactly 64 loops, silently capping recall at ~0.75
+                        # (round-5 probes: 128 lifts recall to 0.79-0.88 at
+                        # precision 1.0 and mean ATE 5.8 -> 5.4 cm)
+                        max_loops=128, gn_iters=3, icp=icp_prod,
                         nssm_target_window=2, nssm_pair_refine=True,
                         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
                         pair_refine_min_inliers=25,
@@ -253,9 +257,11 @@ def main() -> None:
                         # on 4/5 seeds than the ratio median, honest
                         # bounded y — see docs/ACCURACY.md round 4)
                         refine_scale_basis=True,
-                        # top-64-by-covisibility sweep lane budget: exact
-                        # (~40-60 eligible pairs/iter) at half the lanes
-                        refine_sweep_budget=64,
+                        # no sweep lane budget: with the loop log at 128 the
+                        # eligible-pair count can exceed the old top-64 cut
+                        # (round-5 recall probes ran budget 0; the halved-lane
+                        # optimization only paid while the log was saturated)
+                        refine_sweep_budget=0,
                         # iteration>=1 re-registers only lanes whose endpoint
                         # RELATIVE pose moved since their last registration
                         # (r4 on-chip probe, seed 0: refine 269 -> 223 ms at
@@ -335,9 +341,13 @@ def main() -> None:
     rparams = RefineParams.default()
     if not args.small:
         # finer sonar bins -> tighter consensus-prune gate (r4 probe:
-        # precision 1.0 at equal ATE and better loop medians than 0.25)
+        # precision 1.0 at equal ATE and better loop medians than 0.25);
+        # sweep ICP-inlier gate 20 -> 15 (r5: the blocked revisit sources'
+        # best candidates carry 12-19 inliers; at 15 the consistency +
+        # prune gates still hold precision 1.0 and recall reaches 0.79-0.88)
         rparams = rparams._replace(prune_max_dt=jnp.float32(0.18),
-                                   prune_max_dr=jnp.float32(0.06))
+                                   prune_max_dr=jnp.float32(0.06),
+                                   sweep_min_inliers=jnp.asarray(15, jnp.int32))
     if args.refine_floor > 0:
         rparams = rparams._replace(floor_sigmas=jnp.asarray(
             [args.refine_floor, args.refine_floor, args.refine_floor / 5.0],

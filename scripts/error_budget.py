@@ -71,7 +71,7 @@ def setups(full: bool):
                         imu_rate=50.0)
         dims = SlamDims(max_keyframes=128, max_points=256,
                         target_capacity=1024, nssm_cov_samples=12,
-                        ssm_sobol=64, nssm_sobol=512, max_loops=64,
+                        ssm_sobol=64, nssm_sobol=512, max_loops=128,
                         gn_iters=3, icp=icp_prod,
                         nssm_target_window=2, nssm_pair_refine=True,
                         pair_refine_max_dt=0.35, pair_refine_max_dr=0.07,
@@ -81,7 +81,7 @@ def setups(full: bool):
                         estimate_dvl_scale=True,
                         refine_iters=2, refine_sweep=True, refine_chain=True,
                         refine_final_sweep=True,
-                        refine_scale_from_chain=True, refine_sweep_budget=64,
+                        refine_scale_from_chain=True, refine_sweep_budget=0,
                         refine_scale_basis=True, refine_incremental=True)
         kf_t = 3.0
     else:
@@ -107,7 +107,8 @@ def bench_rparams(full: bool = False):
     rp = RefineParams.default()
     if full:
         rp = rp._replace(prune_max_dt=jnp.float32(0.18),
-                         prune_max_dr=jnp.float32(0.06))
+                         prune_max_dr=jnp.float32(0.06),
+                         sweep_min_inliers=jnp.asarray(15, jnp.int32))
     return rp
 
 

@@ -74,7 +74,7 @@ def main():
                         imu_rate=50.0)
         dims = SlamDims(max_keyframes=128, max_points=256,
                         target_capacity=1024, nssm_cov_samples=12,
-                        ssm_sobol=64, nssm_sobol=512, max_loops=64,
+                        ssm_sobol=64, nssm_sobol=512, max_loops=128,
                         gn_iters=3,
                         icp=ICPConfig(max_iterations=12, min_diff_rot=1e-3,
                                       min_diff_trans=1e-2, point_to_line=True,
