@@ -152,6 +152,9 @@ def main() -> None:
     ap.add_argument("--conf-ref", type=float, default=0.0,
                     help="override SlamParams.conf_ref (count at which a "
                          "point reaches full weight; traced)")
+    ap.add_argument("--corroborate", type=int, default=-1,
+                    help="1/0 force the temporal speckle gate on/off "
+                         "(-1 = config default: on for full, off for small)")
     ap.add_argument("--icp-floor", type=float, default=0.0,
                     help="override icp_odom_sigmas xy (SSM factor weight + "
                          "in-scan loop floor; traced)")
@@ -363,13 +366,19 @@ def main() -> None:
     if args.refine_robust >= 0:
         rparams = rparams._replace(robust=jnp.asarray(bool(args.refine_robust)))
     do_refine = dims.refine_iters > 0 and not args.no_refine
-    # The speckle false-alarm HARD gate (FeatureConfig.min_voxel_hits) stays
-    # OFF in production: it kills the count-1 speckle tail but starves the
-    # density-priced gates downstream (recall 0.75 -> 0.18 at the full
-    # config; docs/ACCURACY.md round 5). The shipped mechanism is the SOFT
-    # confidence channel: per-point voxel detection counts -> ICP
-    # correspondence weights (SlamParams.conf_ref/conf_power below).
-    feature_config = FeatureConfig(max_points=dims.max_points)
+    # Speckle handling (docs/ACCURACY.md round 5): the in-frame count HARD
+    # gate (FeatureConfig.min_voxel_hits) stays OFF — it kills the count-1
+    # speckle tail but starves the density-priced gates downstream (recall
+    # 0.75 -> 0.18 at the full config). The shipped mechanism is the
+    # TEMPORAL corroboration gate (FeatureConfig.corroborate): adjacent-ping
+    # evidence separates decorrelating speckle from persistent returns
+    # without touching real far-range points. The soft confidence channel
+    # (SlamParams.conf_ref/conf_power) remains available but default-off.
+    feature_config = FeatureConfig(
+        max_points=dims.max_points,
+        corroborate=(not args.small if args.corroborate < 0
+                     else bool(args.corroborate)),
+    )
     dr_config = DRConfig(roll_offset=0.0)
 
     # host-side alignment (excluded from timing in both systems: the
@@ -392,6 +401,35 @@ def main() -> None:
     # the tunnel latency; the wall clock blocks once at the end).
     ping_time_dev = jnp.asarray(bag.ping_time, jnp.float32)
     sync_dev = jnp.asarray(sync_ok)
+    n_pings = len(bag.ping_time)
+
+    from sonar_slam_tpu.slam.frontend import corroboration_gate
+
+    @jax.jit
+    def _corr_gate(pts, masks, ping_dr3, sel, np_m, nm_m, np_p, nm_p):
+        dr2 = pose3_to_pose2(ping_dr3)
+        kf = dr2[sel]
+        rho = feature_config.corroborate_rho
+        cm = corroboration_gate(
+            pts, masks, kf, np_m, nm_m,
+            dr2[jnp.clip(sel - 1, 0, n_pings - 1)], rho)
+        cp = corroboration_gate(
+            pts, masks, kf, np_p, nm_p,
+            dr2[jnp.clip(sel + 1, 0, n_pings - 1)], rho)
+        return masks & (cm | cp)
+
+    def extract_features(sel_d, ping_dr3):
+        """Keyframe feature clouds; with the temporal speckle gate on, also
+        extracts the two adjacent pings' clouds (reusing the SAME compiled
+        K-batch programs) and keeps points either neighbor corroborates."""
+        pts, masks, conf = extractor.extract_batch_conf(ping_images[sel_d])
+        if feature_config.corroborate:
+            pm, mm, _ = extractor.extract_batch_conf(
+                ping_images[jnp.clip(sel_d - 1, 0, n_pings - 1)])
+            pp, mp, _ = extractor.extract_batch_conf(
+                ping_images[jnp.clip(sel_d + 1, 0, n_pings - 1)])
+            masks = _corr_gate(pts, masks, ping_dr3, sel_d, pm, mm, pp, mp)
+        return pts, masks, conf
 
     use_basis = (do_refine and dims.refine_scale_basis
                  and dims.estimate_dvl_scale) or dims.aggregate_with_dr_basis
@@ -494,8 +532,8 @@ def main() -> None:
             stage_ms.clear()
             kf_mask, sel_d, valid_d, ping_dr3, ping_basis = timed(
                 "dr_gate", stage1)
-            pts, masks, conf = timed("features", extractor.extract_batch_conf,
-                                     ping_images[sel_d])
+            pts, masks, conf = timed("features", extract_features,
+                                     sel_d, ping_dr3)
             basis_arg = ping_basis[sel_d] if use_basis else None
             carry, outputs = timed(
                 "slam_scan", stage2b, sel_d, valid_d, ping_dr3, pts, masks,
@@ -527,8 +565,7 @@ def main() -> None:
             # previous stage's device arrays, so dispatch overlaps the
             # tunnel latency and the wall clock blocks exactly once
             kf_mask, sel_d, valid_d, ping_dr3, ping_basis = stage1()
-            pts, masks, conf = extractor.extract_batch_conf(
-                ping_images[sel_d])
+            pts, masks, conf = extract_features(sel_d, ping_dr3)
             carry, outputs = stage2b(
                 sel_d, valid_d, ping_dr3, pts, masks, conf,
                 ping_basis[sel_d] if use_basis else None)

@@ -57,11 +57,16 @@ def main():
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--out", default="")
+    ap.add_argument("--corroborate", type=int, default=-1,
+                    help="1/0 = force the temporal speckle gate on/off "
+                         "(-1 = FeatureConfig default)")
     args = ap.parse_args()
 
     sim0, dims, kf_t = setups(args.full)
     params = bench_params(dims, kf_t, full=args.full)
     fc = FeatureConfig(max_points=dims.max_points)
+    if args.corroborate >= 0:
+        fc = fc._replace(corroborate=bool(args.corroborate))
 
     per_seed = []
     for seed in range(args.seeds):

@@ -205,6 +205,25 @@ def replay(
     extractor = FeatureExtractor(feature_config, bag.geometry)
     pts, masks, conf = extractor.extract_batch_conf(
         jnp.asarray(bag.ping_images[sel]))
+    if feature_config.corroborate:
+        # temporal speckle gate (FeatureConfig.corroborate): extract the two
+        # adjacent pings' clouds (same compiled K-batch programs) and keep
+        # keyframe points corroborated by either after DR motion comp
+        from .slam.frontend import corroboration_gate
+
+        kf_pose2 = jnp.asarray(ping_dr2[sel])
+        corr = None
+        for nb_sel in (np.clip(sel - 1, 0, len(bag.ping_time) - 1),
+                       np.clip(sel + 1, 0, len(bag.ping_time) - 1)):
+            npts, nmask, _ = extractor.extract_batch_conf(
+                jnp.asarray(bag.ping_images[nb_sel]))
+            c = corroboration_gate(
+                pts, masks, kf_pose2, npts, nmask,
+                jnp.asarray(ping_dr2[nb_sel]),
+                feature_config.corroborate_rho,
+            )
+            corr = c if corr is None else (corr | c)
+        masks = masks & corr
     masks = masks & jnp.asarray(valid)[:, None]
 
     frames = KeyframeInput(

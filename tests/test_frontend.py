@@ -133,3 +133,54 @@ def test_detections_mask_shape():
     det = ext.detections(jnp.asarray(wall_ping()))
     assert det.shape == (256, 128)
     assert bool(det.any())
+
+
+def test_corroboration_gate_semantics():
+    """Temporal speckle gate (FeatureConfig.corroborate): a point survives
+    iff SOME masked neighbor point lands within rho after motion comp."""
+    from sonar_slam_tpu.slam.frontend import corroboration_gate
+
+    # keyframe at origin; neighbor ping taken 0.2 m ahead along +x
+    pose = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    nb_pose = jnp.asarray([[0.2, 0.0, 0.0]], jnp.float32)
+    # keyframe body points: a wall point at (10, 0) and speckle at (5, -8)
+    pts = jnp.asarray([[[10.0, 0.0], [5.0, -8.0], [0.0, 0.0]]], jnp.float32)
+    masks = jnp.asarray([[True, True, False]])
+    # neighbor sees the SAME wall point -> (9.8, 0) in ITS body frame, plus
+    # its own speckle far from everything; a masked-out point sitting right
+    # on the speckle must NOT corroborate it
+    nb_pts = jnp.asarray(
+        [[[9.8, 0.0], [-3.0, 12.0], [4.8, -8.0]]], jnp.float32)
+    nb_masks = jnp.asarray([[True, True, False]])
+    out = corroboration_gate(pts, masks, pose, nb_pts, nb_masks, nb_pose,
+                             rho=0.3)
+    np.testing.assert_array_equal(np.asarray(out), [[True, False, False]])
+    # widen rho past the speckle->masked-neighbor gap: still False (masked
+    # witnesses never corroborate), but a REAL witness at 0.25 m would pass
+    out2 = corroboration_gate(pts, masks, pose, nb_pts, nb_masks, nb_pose,
+                              rho=20.0)
+    assert bool(out2[0, 0]) and bool(out2[0, 1])  # nb speckle now in range
+    assert not bool(out2[0, 2])  # input mask always respected
+
+
+def test_corroboration_rotation_motion_comp():
+    """The gate must compensate rotation: a 10-m point seen under a 5-deg
+    yaw change moves ~0.87 m in the body frame — far beyond rho — yet must
+    corroborate after compensation."""
+    from sonar_slam_tpu.slam.frontend import corroboration_gate
+
+    th = np.deg2rad(5.0)
+    pose = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    nb_pose = jnp.asarray([[0.0, 0.0, th]], jnp.float32)
+    world_pt = np.array([10.0, 0.0])
+    # neighbor body frame: rotate world point by -th
+    c, s = np.cos(-th), np.sin(-th)
+    nb_body = np.array([c * world_pt[0] - s * world_pt[1],
+                        s * world_pt[0] + c * world_pt[1]])
+    pts = jnp.asarray([[world_pt.tolist()]], jnp.float32)
+    masks = jnp.asarray([[True]])
+    nb_pts = jnp.asarray([[nb_body.tolist()]], jnp.float32)
+    nb_masks = jnp.asarray([[True]])
+    out = corroboration_gate(pts, masks, pose, nb_pts, nb_masks, nb_pose,
+                             rho=0.05)
+    assert bool(out[0, 0])
