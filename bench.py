@@ -403,20 +403,18 @@ def main() -> None:
     sync_dev = jnp.asarray(sync_ok)
     n_pings = len(bag.ping_time)
 
-    from sonar_slam_tpu.slam.frontend import corroboration_gate
+    from sonar_slam_tpu.slam.frontend import corroborate
 
     @jax.jit
     def _corr_gate(pts, masks, ping_dr3, sel, np_m, nm_m, np_p, nm_p):
         dr2 = pose3_to_pose2(ping_dr3)
-        kf = dr2[sel]
-        rho = feature_config.corroborate_rho
-        cm = corroboration_gate(
-            pts, masks, kf, np_m, nm_m,
-            dr2[jnp.clip(sel - 1, 0, n_pings - 1)], rho)
-        cp = corroboration_gate(
-            pts, masks, kf, np_p, nm_p,
-            dr2[jnp.clip(sel + 1, 0, n_pings - 1)], rho)
-        return masks & (cm | cp)
+        neighbors = [
+            (np_m, nm_m, dr2[jnp.clip(sel - 1, 0, n_pings - 1)]),
+            (np_p, nm_p, dr2[jnp.clip(sel + 1, 0, n_pings - 1)]),
+        ]
+        return corroborate(pts, masks, dr2[sel], neighbors,
+                           feature_config.corroborate_rho,
+                           feature_config.corroborate_both)
 
     def extract_features(sel_d, ping_dr3):
         """Keyframe feature clouds; with the temporal speckle gate on, also

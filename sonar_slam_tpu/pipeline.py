@@ -208,22 +208,18 @@ def replay(
     if feature_config.corroborate:
         # temporal speckle gate (FeatureConfig.corroborate): extract the two
         # adjacent pings' clouds (same compiled K-batch programs) and keep
-        # keyframe points corroborated by either after DR motion comp
-        from .slam.frontend import corroboration_gate
+        # keyframe points corroborated after DR motion comp
+        from .slam.frontend import corroborate
 
-        kf_pose2 = jnp.asarray(ping_dr2[sel])
-        corr = None
+        neighbors = []
         for nb_sel in (np.clip(sel - 1, 0, len(bag.ping_time) - 1),
                        np.clip(sel + 1, 0, len(bag.ping_time) - 1)):
             npts, nmask, _ = extractor.extract_batch_conf(
                 jnp.asarray(bag.ping_images[nb_sel]))
-            c = corroboration_gate(
-                pts, masks, kf_pose2, npts, nmask,
-                jnp.asarray(ping_dr2[nb_sel]),
-                feature_config.corroborate_rho,
-            )
-            corr = c if corr is None else (corr | c)
-        masks = masks & corr
+            neighbors.append((npts, nmask, jnp.asarray(ping_dr2[nb_sel])))
+        masks = corroborate(
+            pts, masks, jnp.asarray(ping_dr2[sel]), neighbors,
+            feature_config.corroborate_rho, feature_config.corroborate_both)
     masks = masks & jnp.asarray(valid)[:, None]
 
     frames = KeyframeInput(

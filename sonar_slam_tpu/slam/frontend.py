@@ -86,6 +86,12 @@ class FeatureConfig(NamedTuple):
     # pings), batched into the same compiled programs.
     corroborate: bool = False
     corroborate_rho: float = 0.3
+    # require BOTH neighbors to corroborate (AND) instead of either (OR).
+    # Stricter on speckle (independent frames: survival rate squared) at
+    # the cost of real returns near the FOV edge that only one neighbor
+    # sees. Measured end-to-end (seeds 1/2/4, full config, TPU): see
+    # docs/ACCURACY.md round 5.
+    corroborate_both: bool = False
 
 
 class StaticVoxelBinner:
@@ -429,3 +435,27 @@ def corroboration_gate(
     d2 = jax.vmap(pairwise_sq_dists)(pts, q)  # (K, N, M), MXU path
     d2 = jnp.where(nb_masks[:, None, :], d2, jnp.inf)
     return masks & (jnp.min(d2, axis=-1) < rho * rho)
+
+
+def corroborate(
+    pts: jax.Array,
+    masks: jax.Array,
+    pose2: jax.Array,
+    neighbors,  # iterable of (nb_pts, nb_masks, nb_pose2)
+    rho: float,
+    both: bool = False,
+) -> jax.Array:
+    """Apply :func:`corroboration_gate` over several neighbor clouds.
+
+    ``both=False`` keeps points corroborated by ANY neighbor (the shipped
+    semantics — robust to FOV-edge points one neighbor misses);
+    ``both=True`` requires EVERY neighbor (stricter: independent-frame
+    speckle survival is the product of per-neighbor rates). Shared by
+    `pipeline.replay` and `bench.py` so the semantics are tested once.
+    """
+    corr = None
+    for nb_pts, nb_masks, nb_pose2 in neighbors:
+        c = corroboration_gate(pts, masks, pose2, nb_pts, nb_masks,
+                               nb_pose2, rho)
+        corr = c if corr is None else ((corr & c) if both else (corr | c))
+    return masks & corr

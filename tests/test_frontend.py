@@ -163,6 +163,26 @@ def test_corroboration_gate_semantics():
     assert not bool(out2[0, 2])  # input mask always respected
 
 
+def test_corroborate_or_vs_and_composition():
+    """`corroborate` (the composition pipeline.replay/bench share): OR keeps
+    a point seen by either neighbor; AND requires both."""
+    from sonar_slam_tpu.slam.frontend import corroborate
+
+    pose = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    pts = jnp.asarray([[[10.0, 0.0], [5.0, 5.0]]], jnp.float32)
+    masks = jnp.asarray([[True, True]])
+    # neighbor A sees only point 0; neighbor B sees both
+    nb_a = (jnp.asarray([[[10.0, 0.05]]], jnp.float32),
+            jnp.asarray([[True]]), pose)
+    nb_b = (jnp.asarray([[[10.0, -0.05], [5.0, 5.1]]], jnp.float32),
+            jnp.asarray([[True, True]]), pose)
+    out_or = corroborate(pts, masks, pose, [nb_a, nb_b], rho=0.3)
+    np.testing.assert_array_equal(np.asarray(out_or), [[True, True]])
+    out_and = corroborate(pts, masks, pose, [nb_a, nb_b], rho=0.3,
+                          both=True)
+    np.testing.assert_array_equal(np.asarray(out_and), [[True, False]])
+
+
 def test_corroboration_rotation_motion_comp():
     """The gate must compensate rotation: a 10-m point seen under a 5-deg
     yaw change moves ~0.87 m in the body frame — far beyond rho — yet must
