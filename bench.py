@@ -724,9 +724,17 @@ def main() -> None:
                 )
                 return slam_scan(frames, pp, pdims)
 
+            # faithful lanes get the reference's frontend semantics too:
+            # strict CFAR border (no extend divergence), no temporal gate
+            parity_extractor = FeatureExtractor(
+                feature_config._replace(cfar_edge="strict",
+                                        corroborate=False),
+                bag.geometry)
+
             def parity_pipeline(pp):
                 kf_mask, sel_d, valid_d, ping_dr3, _ = stage1()
-                pts, masks = extractor.extract_batch(ping_images[sel_d])
+                pts, masks = parity_extractor.extract_batch(
+                    ping_images[sel_d])
                 pcarry, _ = parity_scan(sel_d, valid_d, ping_dr3, pts,
                                         masks, pp)
                 jax.block_until_ready(pcarry.poses)

@@ -57,8 +57,7 @@ def main():
         odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
         icp_odom_sigmas=jnp.asarray([0.3, 0.3, 0.1], jnp.float32),
     )
-    res = replay(bag, FeatureConfig(max_points=128, min_voxel_hits=3),
-                 p, dims)
+    res = replay(bag, FeatureConfig(max_points=128), p, dims)
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "golden", "small_traj.npz")
     truth = bag.true_pose_at_ping[res.keyframe_ping_idx][: res.num_keyframes]

@@ -118,7 +118,7 @@ def _cfar_os_kernel(img_ref, det_ref, thr_ref, *, train_hs, guard_hs, k, tau,
 @functools.partial(
     jax.jit, static_argnames=("train_hs", "guard_hs", "tau", "mode",
                               "intensity_threshold", "rank",
-                              "os_float_refine_steps"),
+                              "os_float_refine_steps", "edge"),
 )
 def cfar_pallas_batch(
     imgs: jax.Array,  # (B, R, C) float32 polar frames
@@ -129,18 +129,32 @@ def cfar_pallas_batch(
     intensity_threshold: float | None = None,
     rank: int = 0,
     os_float_refine_steps: int = 14,
+    edge: str = "strict",
 ):
     """Batched fused CFAR: returns (detections (B,R,C) bool, thresholds f32).
 
     ``intensity_threshold`` fuses the reference's ``peaks &= img > threshold``
     gate (`feature_extraction.py:223-224`) into the kernel. ``mode`` "OS"
     uses ``rank`` (0-indexed k, cfar.cpp:91-92 semantics) and assumes
-    integer-valued intensities (see _cfar_os_kernel).
+    integer-valued intensities (see _cfar_os_kernel). ``edge="extend"``
+    edge-replicate pads the rows by the half-window before the SAME kernel
+    runs and crops after, so the whole swath can detect (matches
+    cfar.py::cfar_*2 extend semantics; the strict border blinding is
+    measured in docs/ACCURACY.md round 5).
     """
     B, R, C = imgs.shape
+    imgs = imgs.astype(jnp.float32)
+    hw_edge = 0
+    if edge == "extend":
+        hw_edge = train_hs + guard_hs
+        imgs = jnp.pad(imgs, ((0, 0), (hw_edge, hw_edge), (0, 0)),
+                       mode="edge")
+        R = R + 2 * hw_edge
+    elif edge != "strict":
+        raise ValueError(f"unknown CFAR edge mode {edge!r}")
     r_pad = (8 - R % 8) % 8
     c_pad = (_LANE - C % _LANE) % _LANE
-    x = jnp.pad(imgs.astype(jnp.float32), ((0, 0), (0, r_pad), (0, c_pad)))
+    x = jnp.pad(imgs, ((0, 0), (0, r_pad), (0, c_pad)))
     Rp, Cp = R + r_pad, C + c_pad
 
     if mode == "OS":
@@ -182,4 +196,6 @@ def cfar_pallas_batch(
             jax.ShapeDtypeStruct((B, Rp, Cp), jnp.float32),
         ),
     )(x)
-    return det[:, :R, :C].astype(bool), thr[:, :R, :C]
+    lo = hw_edge
+    hi = R - hw_edge
+    return det[:, lo:hi, :C].astype(bool), thr[:, lo:hi, :C]

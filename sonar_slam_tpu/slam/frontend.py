@@ -42,6 +42,12 @@ from .sonar import SonarGeometry
 class FeatureConfig(NamedTuple):
     """feature.yaml semantics (`/root/reference/bruce_slam/config/feature.yaml`)."""
 
+    # CFAR row-border policy (kernels/cfar.py): "strict" = reference
+    # semantics (rows within ntc/2+ngc/2 of either edge never detect — this
+    # blinds the outer ~12% of every ping's swath and was the round-5 map
+    # recall ceiling, docs/ACCURACY.md); "extend" = edge-replicate pad so
+    # the whole swath detects. Production default: extend.
+    cfar_edge: str = "extend"
     ntc: int = 40
     ngc: int = 10
     pfa: float = 0.1
@@ -205,18 +211,20 @@ class FeatureExtractor:
         self.config = config
         self.geometry = geometry
         t, g = config.ntc // 2, config.ngc // 2
+        edge = config.cfar_edge
         if config.alg == "CA":
             tau = threshold_factor_ca(config.ntc, config.pfa)
-            self._detect = lambda img: cfar_ca2(img, t, g, tau)[0]
+            self._detect = lambda img: cfar_ca2(img, t, g, tau, edge)[0]
         elif config.alg == "SOCA":
             tau = threshold_factor_soca(config.ntc, config.pfa)
-            self._detect = lambda img: cfar_soca2(img, t, g, tau)[0]
+            self._detect = lambda img: cfar_soca2(img, t, g, tau, edge)[0]
         elif config.alg == "GOCA":
             tau = threshold_factor_goca(config.ntc, config.pfa)
-            self._detect = lambda img: cfar_goca2(img, t, g, tau)[0]
+            self._detect = lambda img: cfar_goca2(img, t, g, tau, edge)[0]
         elif config.alg == "OS":
             tau = threshold_factor_os(config.ntc, config.rank, config.pfa)
-            self._detect = lambda img: cfar_os2(img, t, g, config.rank, tau)[0]
+            self._detect = lambda img: cfar_os2(
+                img, t, g, config.rank, tau, edge)[0]
         else:
             raise ValueError(f"unknown CFAR alg {config.alg}")
         self.tau = tau
@@ -240,11 +248,16 @@ class FeatureExtractor:
             np.sin(geometry.horizontal_aperture / 2) * geometry.max_range
         )
         res = config.resolution
-        # rows inside the CFAR border can never detect — exclude them from
-        # the binner (shrinks the per-voxel group tables near min range)
-        hw = (config.ntc + config.ngc) // 2
-        row_ok = np.zeros(geometry.num_ranges, bool)
-        row_ok[hw : geometry.num_ranges - hw] = True
+        # strict-edge CFAR can never detect inside the border band — exclude
+        # those rows from the binner (shrinks the per-voxel group tables
+        # near min range). With edge="extend" the whole swath can detect,
+        # so every row stays bin-eligible.
+        if config.cfar_edge == "strict":
+            hw = (config.ntc + config.ngc) // 2
+            row_ok = np.zeros(geometry.num_ranges, bool)
+            row_ok[hw : geometry.num_ranges - hw] = True
+        else:
+            row_ok = np.ones(geometry.num_ranges, bool)
         cell_ok = np.repeat(row_ok, geometry.num_bearings)
         self._binner = StaticVoxelBinner(
             cells_np, res, x0=0.0, y0=-half_width,
@@ -355,6 +368,7 @@ class FeatureExtractor:
                 det, _ = cfar_pallas_batch(
                     imgs.astype(jnp.float32), t, g, self.tau, config.alg,
                     intensity_threshold=config.threshold, rank=config.rank,
+                    edge=config.cfar_edge,
                 )
                 B = det.shape[0]
                 return (

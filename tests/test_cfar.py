@@ -139,3 +139,58 @@ def test_cfar_class_validation():
         CFAR(41, 10, 0.1)
     with pytest.raises(ValueError):
         CFAR(40, 10, 0.1, rank=40)
+
+
+# ---------------------------------------------------------------------------
+# edge="extend" (production border policy; kernels/cfar.py docstring)
+
+
+def _edge_brute_force(img, t, g, tau, mode, k=0):
+    """Brute force on an edge-replicate padded image, cropped back."""
+    hw = t + g
+    padded = np.pad(img, ((hw, hw), (0, 0)), mode="edge")
+    det, thr = brute_force(padded, t, g, tau, mode, k)
+    return det[hw:-hw], thr[hw:-hw]
+
+
+@pytest.mark.parametrize("mode", ["CA", "SOCA", "GOCA", "OS"])
+def test_cfar_edge_extend_matches_brute_force(mode):
+    img = rng.exponential(10.0, (64, 8)).astype(np.float32)
+    img[3, 2] = 500.0    # target INSIDE the strict border band
+    img[60, 5] = 500.0   # and near the far edge
+    img[30, 1] = 500.0   # interior target
+    t, g, k = 8, 2, 5
+    tau = 2.0
+    if mode == "CA":
+        det, thr = cfar_ca2(jnp.asarray(img), t, g, tau, "extend")
+    elif mode == "SOCA":
+        det, thr = cfar_soca2(jnp.asarray(img), t, g, tau, "extend")
+    elif mode == "GOCA":
+        det, thr = cfar_goca2(jnp.asarray(img), t, g, tau, "extend")
+    else:
+        det, thr = cfar_os2(jnp.asarray(img), t, g, k, tau, "extend")
+    bf_det, bf_thr = _edge_brute_force(img, t, g, tau, mode, k)
+    np.testing.assert_array_equal(np.asarray(det), bf_det)
+    np.testing.assert_allclose(np.asarray(thr), bf_thr, rtol=1e-5)
+    # the border targets must now be detectable (strict blinds them)
+    assert bool(det[3, 2]) and bool(det[60, 5]) and bool(det[30, 1])
+    strict = cfar_soca2(jnp.asarray(img), t, g, tau, "strict")[0]
+    assert not bool(strict[3, 2]) and not bool(strict[60, 5])
+
+
+def test_cfar_edge_extend_interior_equals_strict():
+    """Away from the border band the two policies are bit-identical."""
+    img = rng.exponential(10.0, (96, 16)).astype(np.float32)
+    img[rng.integers(20, 76, 12), rng.integers(0, 16, 12)] = 400.0
+    t, g = 10, 2
+    hw = t + g
+    for fn, args in [(cfar_ca2, (2.1,)), (cfar_soca2, (1.8,)),
+                     (cfar_goca2, (2.4,)), (cfar_os2, (7, 2.0))]:
+        d_s, t_s = fn(jnp.asarray(img), t, g, *args, "strict")
+        d_e, t_e = fn(jnp.asarray(img), t, g, *args, "extend")
+        np.testing.assert_array_equal(
+            np.asarray(d_s)[hw:-hw], np.asarray(d_e)[hw:-hw])
+        # thresholds agree to fp: the padded prefix sum reassociates the
+        # same training-cell additions
+        np.testing.assert_allclose(
+            np.asarray(t_s)[hw:-hw], np.asarray(t_e)[hw:-hw], rtol=1e-4)

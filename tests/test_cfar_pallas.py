@@ -71,3 +71,33 @@ def test_pallas_os_matches_xla_on_integer_images():
         np.testing.assert_allclose(
             np.asarray(thr[b]), np.asarray(thr_ref), rtol=1e-5, atol=1e-3
         )
+
+
+def test_pallas_edge_extend_matches_xla():
+    """edge="extend" agrees between the Pallas and XLA paths (and detects
+    inside the strict border band)."""
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    imgs = rng.exponential(10.0, (2, 48, 130)).astype(np.float32)
+    imgs[0, 2, 10] = 500.0   # inside the border band
+    imgs[1, 45, 100] = 500.0
+    t, g, tau = 6, 2, 1.9
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        from sonar_slam_tpu.kernels.cfar_pallas import cfar_pallas_batch
+
+        det_p, thr_p = cfar_pallas_batch(imgs, t, g, tau, "SOCA",
+                                         edge="extend")
+    det_x = np.stack([
+        np.asarray(cfar_soca2(jnp.asarray(im), t, g, tau, "extend")[0])
+        for im in imgs
+    ])
+    np.testing.assert_array_equal(np.asarray(det_p), det_x)
+    assert bool(det_p[0, 2, 10]) and bool(det_p[1, 45, 100])

@@ -178,12 +178,15 @@ class TestParityCollapse:
                 )
             return p
 
+        # faithful lanes use the reference's frontend border policy too
+        # (strict CFAR edge; extend is a documented production divergence)
+        fc_strict = fc._replace(cfar_edge="strict")
         res_prod = replay(bag, fc, params_for(prod_dims, False), prod_dims)
-        res_par = replay(bag, fc, params_for(par_dims, True), par_dims)
+        res_par = replay(bag, fc_strict, params_for(par_dims, True), par_dims)
         # faithful SSM-only (NSSM disabled): the reference's loop-free mode.
         # Traced param flip — reuses res_par's compiled executable.
         res_ssm = replay(
-            bag, fc,
+            bag, fc_strict,
             params_for(par_dims, True)._replace(
                 nssm_enable=jnp.asarray(False)),
             par_dims)
@@ -191,7 +194,7 @@ class TestParityCollapse:
         # delta, slam.py:647-650 fallback): the graph machinery must
         # reproduce dead reckoning exactly
         res_odo = replay(
-            bag, fc,
+            bag, fc_strict,
             params_for(par_dims, True)._replace(
                 ssm_enable=jnp.asarray(False),
                 nssm_enable=jnp.asarray(False)),
