@@ -275,8 +275,14 @@ def main() -> None:
         #  are multi-circuit-drift features; measured counterproductive on
         #  the short single-arc small config)
         kf_translation = 3.0
-        nssm_every = 3  # refine.py recovers the sparser search's recall
-        # (probed every in {1,2,3,4,6} x 3 seeds: 3 is accuracy-best on all)
+        nssm_every = 5  # refine.py recovers the sparser search's recall
+        # (r3 probe over {1,2,3,4,6} x 3 seeds picked 3; re-probed r5 over
+        # {3,4,5} x 5 seeds on-chip AFTER refine_final_sweep + max_loops 128
+        # + corroborate + cfar_edge reshaped the recall landscape: cadence 5
+        # now DOMINATES — ATE mean 4.59 vs 4.63 cm, recall 0.845 vs 0.836,
+        # precision 1.0 every seed, ~40% less in-scan NSSM device time.
+        # Cadence 4 breaks precision on seed 2 (0.976) — attempt phasing
+        # matters, sparser is not monotone. docs/NSSM_CADENCE_r05.json)
     if args.nssm_every > 0:
         nssm_every = args.nssm_every
     if args.refine_iters > 0:

@@ -119,7 +119,7 @@ def bench_params(dims, kf_t, full: bool = False):
         nssm_min_points=jnp.asarray(50 if full else 20, jnp.int32),
         fuse_odometry=jnp.asarray(True),
         use_best_start_tf=jnp.asarray(True),
-        nssm_every=jnp.asarray(3 if full else 1, jnp.int32),
+        nssm_every=jnp.asarray(5 if full else 1, jnp.int32),
         odom_sigmas=jnp.asarray([0.05, 0.05, 0.01], jnp.float32),
         icp_odom_sigmas=jnp.asarray(
             [0.2, 0.2, 0.1] if full else [0.3, 0.3, 0.1], jnp.float32),
